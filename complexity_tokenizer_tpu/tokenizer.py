@@ -1,0 +1,1182 @@
+"""The Tokenizer: HF-compatible orchestrator over host + device tiers.
+
+API surface mirrors the reference's ``HuggingFaceTokenizer`` + ``PyTokenizer``
+(`/root/reference/src/huggingface/mod.rs:134-1557`,
+`/root/reference/src/bindings/tokenizer.rs:11-701`): constructors, the
+encode/decode families, transformers-style ``__call__``, token management,
+special-token properties, padding/truncation config, chat templates,
+training, and save/save_pretrained.
+
+Architecture split (TPU-native, not a port):
+
+- **Host tier**: config parsing, table building, added-token matching, and a
+  reference-exact scalar pipeline (the oracle) used for single-text calls
+  and exotic configs.
+- **Device tier**: for byte-level BPE configs, ``encode_batch`` routes
+  through the jitted device pipeline in ``ops/`` (fixed-width byte tensors,
+  vectorized pre-split, segmented-min merge kernel), which is diff-tested
+  against the host tier for exact token-id parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from .batch_encoding import BatchEncoding
+from .core import decoders as D
+from .core import normalizers as N
+from .core import pretokenizers as PT
+from .core.bpe import BpeTokenizer
+from .core.encoding import Encoding
+from .core.postprocessors import PostProcessor
+from .core.vocab import SpecialTokens, Vocab
+from .hf import chat as chat_mod
+from .hf import hub as hub_mod
+from .hf import parsing, serialization
+from .hf.config import PaddingConfig, TruncationConfig
+from .utils.unicode_tables import whitespace_set
+
+__all__ = ["Tokenizer", "Encoding", "BatchEncoding", "AddedTokenConfig"]
+
+
+class AddedTokenConfig:
+    """Internal added-token record (mod.rs:123-131)."""
+
+    __slots__ = ("id", "special", "single_word", "lstrip", "rstrip", "normalized")
+
+    def __init__(self, id, special, single_word=False, lstrip=False, rstrip=False, normalized=False):
+        self.id = id
+        self.special = special
+        self.single_word = single_word
+        self.lstrip = lstrip
+        self.rstrip = rstrip
+        self.normalized = normalized
+
+
+def _split_whitespace_join(text: str) -> str:
+    ws = whitespace_set()
+    parts, cur = [], []
+    for ch in text:
+        if ch in ws:
+            if cur:
+                parts.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return " ".join(parts)
+
+
+class Tokenizer:
+    def __init__(self):
+        self.bpe: BpeTokenizer = BpeTokenizer({}, [])
+        self.vocab: Vocab = Vocab({}, SpecialTokens())
+        self.special_tokens: dict[str, int] = {}
+        self.added_tokens: dict[str, int] = {}
+        self.added_tokens_config: dict[str, AddedTokenConfig] = {}
+        self.normalizer: N.Normalizer | None = None
+        self.pre_tokenizer: PT.PreTokenizer | None = None
+        self.post_processor: PostProcessor | None = None
+        self.decoder: D.Decoder | None = None
+        self._model_max_length: int = 512
+        self._padding_side: str = "right"
+        self._truncation_side: str = "right"
+        self._chat_template: str | None = None
+        self.padding_config = PaddingConfig()
+        self.truncation_config = TruncationConfig(max_length=512)
+        self._pipeline = None  # lazily-built device pipeline
+        self._pipeline_dirty = True
+        self.use_device: bool = os.environ.get("CTOK_DISABLE_DEVICE", "") != "1"
+
+    # ------------------------------------------------------------------
+    # Constructors
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def from_file(path) -> "Tokenizer":
+        with open(path, "r", encoding="utf-8") as f:
+            return Tokenizer._from_tokenizer_json(json.load(f))
+
+    @staticmethod
+    def from_str(s: str) -> "Tokenizer":
+        return Tokenizer._from_tokenizer_json(json.loads(s))
+
+    @staticmethod
+    def from_buffer(buf: bytes) -> "Tokenizer":
+        return Tokenizer._from_tokenizer_json(json.loads(buf.decode("utf-8")))
+
+    @staticmethod
+    def from_pretrained(
+        repo_id: str, revision: str | None = None, local_files_only: bool = False
+    ) -> "Tokenizer":
+        """Load from the HuggingFace Hub (mod.rs:188-241)."""
+        if local_files_only:
+            cfg = hub_mod.HubConfig()
+            cached = hub_mod.get_cache_path(repo_id, cfg) / "tokenizer.json"
+            if cached.exists():
+                return Tokenizer.from_file(cached)
+            raise IOError(
+                f"Model '{repo_id}' not found in cache and local_files_only=true"
+            )
+        path = hub_mod.download_file(repo_id, "tokenizer.json")
+        model_max_length = 512
+        chat_template = None
+        cfg_json = hub_mod.fetch_json(repo_id, "tokenizer_config.json")
+        if isinstance(cfg_json, dict):
+            mml = cfg_json.get("model_max_length")
+            if isinstance(mml, int):
+                model_max_length = mml
+            ct = cfg_json.get("chat_template")
+            if isinstance(ct, str):
+                chat_template = ct
+        with open(path, "r", encoding="utf-8") as f:
+            return Tokenizer._from_tokenizer_json(
+                json.load(f), model_max_length, chat_template
+            )
+
+    @staticmethod
+    def _from_tokenizer_json(
+        j: dict, model_max_length: int = 512, chat_template: str | None = None
+    ) -> "Tokenizer":
+        """Build from parsed tokenizer.json (mod.rs:247-334)."""
+        self = Tokenizer()
+        model = j.get("model") or {}
+        vocab_map = {str(k): int(v) for k, v in (model.get("vocab") or {}).items()}
+        merges = parsing.parse_merges(model.get("merges"))
+        self.bpe = BpeTokenizer(vocab_map, merges)
+
+        special_tokens = SpecialTokens()
+        for token in j.get("added_tokens") or []:
+            content = token["content"]
+            tid = int(token["id"])
+            special = bool(token.get("special", False))
+            self.added_tokens[content] = tid
+            self.added_tokens_config[content] = AddedTokenConfig(
+                id=tid,
+                special=special,
+                single_word=bool(token.get("single_word", False)),
+                lstrip=bool(token.get("lstrip", False)),
+                rstrip=bool(token.get("rstrip", False)),
+                normalized=bool(token.get("normalized", False)),
+            )
+            if special:
+                self.special_tokens[content] = tid
+                low = content.lower()
+                # substring inference heuristics (mod.rs:288-304)
+                if "unk" in low:
+                    special_tokens.unk_token = content
+                elif low == "<s>" or "bos" in low:
+                    special_tokens.bos_token = content
+                elif low == "</s>" or "eos" in low:
+                    special_tokens.eos_token = content
+                elif "pad" in low:
+                    special_tokens.pad_token = content
+                elif "sep" in low:
+                    special_tokens.sep_token = content
+                elif "cls" in low:
+                    special_tokens.cls_token = content
+                elif "mask" in low:
+                    special_tokens.mask_token = content
+
+        self.vocab = Vocab(vocab_map, special_tokens)
+        self.normalizer = parsing.parse_normalizer(j.get("normalizer"))
+        self.pre_tokenizer = parsing.parse_pre_tokenizer(j.get("pre_tokenizer"))
+        self.post_processor = parsing.parse_post_processor(
+            j.get("post_processor"), self.special_tokens
+        )
+        self.decoder = parsing.parse_decoder(j.get("decoder"))
+        self._model_max_length = model_max_length
+        self._chat_template = chat_template
+        self.truncation_config = TruncationConfig(max_length=model_max_length)
+        return self
+
+    # ------------------------------------------------------------------
+    # Device pipeline plumbing
+    # ------------------------------------------------------------------
+
+    def _get_pipeline(self):
+        """Build (or reuse) the device encode pipeline; None if ineligible."""
+        if not self.use_device:
+            return None
+        if not self._pipeline_dirty:
+            return self._pipeline
+        self._pipeline_dirty = False
+        self._pipeline = None
+        try:
+            from .ops.pipeline import build_encode_pipeline
+
+            self._pipeline = build_encode_pipeline(self)
+        except Exception:
+            self._pipeline = None
+        return self._pipeline
+
+    def _invalidate_pipeline(self):
+        self._pipeline_dirty = True
+
+    # ------------------------------------------------------------------
+    # Basic encode/decode (host oracle path; mod.rs:551-613)
+    # ------------------------------------------------------------------
+
+    def _encode_host(self, text: str) -> list[int]:
+        normalized = self.normalizer.normalize(text) if self.normalizer else text
+        words = (
+            self.pre_tokenizer.pre_tokenize(normalized)
+            if self.pre_tokenizer
+            else [normalized]
+        )
+        result: list[int] = []
+        for word in words:
+            remaining = word
+            while remaining:
+                best = None  # (token, id, len)
+                for token, tid in self.added_tokens.items():
+                    config = self.added_tokens_config.get(token)
+                    if config is not None:
+                        pos = self._find_added_token(remaining, token, config)
+                        if pos == 0 and (best is None or len(token) > len(best[0])):
+                            best = (token, tid, len(token))
+                    elif remaining.startswith(token):
+                        if best is None or len(token) > len(best[0]):
+                            best = (token, tid, len(token))
+                if best is not None:
+                    result.append(best[1])
+                    remaining = remaining[best[2] :]
+                    continue
+                next_pos = self._find_next_added_token_in_word(remaining)
+                if next_pos > 0 and next_pos < len(remaining):
+                    result.extend(self.bpe.encode(remaining[:next_pos]))
+                    remaining = remaining[next_pos:]
+                else:
+                    result.extend(self.bpe.encode(remaining))
+                    break
+        return result
+
+    def _find_added_token(
+        self, text: str, token: str, config: AddedTokenConfig
+    ) -> int | None:
+        """First-occurrence match honoring flags (mod.rs:637-675)."""
+        pos = text.find(token)
+        if pos < 0:
+            return None
+        end = pos + len(token)
+        if config.single_word:
+            before_ok = pos == 0 or not text[pos - 1].isalnum()
+            after_ok = end >= len(text) or not text[end].isalnum()
+            if not (before_ok and after_ok):
+                return None
+        ws = whitespace_set()
+        if config.lstrip and pos > 0 and text[pos - 1] not in ws:
+            return None
+        if config.rstrip and end < len(text) and text[end] not in ws:
+            return None
+        return pos
+
+    def _find_next_added_token_in_word(self, text: str) -> int:
+        min_pos = len(text)
+        for token in self.added_tokens:
+            config = self.added_tokens_config.get(token)
+            if config is not None:
+                pos = self._find_added_token(text, token, config)
+                if pos is not None and pos > 0:
+                    min_pos = min(min_pos, pos)
+            else:
+                pos = text.find(token)
+                if pos > 0:
+                    min_pos = min(min_pos, pos)
+        return min_pos
+
+    def encode(self, text: str) -> list[int]:
+        return self._encode_host(text)
+
+    def _texts_device_eligible(self, texts) -> list[bool]:
+        """Per-text: False if any added token substring appears (those route
+        through the host path so added-token matching stays exact)."""
+        if not self.added_tokens:
+            return [True] * len(texts)
+        toks = list(self.added_tokens.keys())
+        return [not any(t in x for t in toks) for x in texts]
+
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        pipeline = self._get_pipeline()
+        if pipeline is None:
+            return [self._encode_host(t) for t in texts]
+        eligible = self._texts_device_eligible(texts)
+        dev_idx = [i for i, ok in enumerate(eligible) if ok]
+        out: list[list[int] | None] = [None] * len(texts)
+        if dev_idx:
+            dev_results = pipeline.encode_batch([texts[i] for i in dev_idx])
+            for i, ids in zip(dev_idx, dev_results):
+                out[i] = ids
+        for i, ok in enumerate(eligible):
+            if not ok:
+                out[i] = self._encode_host(texts[i])
+        return out  # type: ignore[return-value]
+
+    def decode(self, ids) -> str:
+        return self._decode_impl(ids, False, True)
+
+    def decode_with_options(
+        self, ids, skip_special_tokens: bool = False, clean_up_tokenization_spaces: bool = True
+    ) -> str:
+        return self._decode_impl(ids, skip_special_tokens, clean_up_tokenization_spaces)
+
+    def _decode_impl(self, ids, skip_special_tokens, clean_up) -> str:
+        ids = [int(i) for i in ids]
+        if skip_special_tokens:
+            kept = []
+            for i in ids:
+                tok = self.vocab.get_token(i)
+                if tok is not None and tok in self.special_tokens:
+                    continue
+                kept.append(i)
+            ids = kept
+        tokens = [t for t in (self.vocab.get_token(i) for i in ids) if t is not None]
+        if self.decoder is not None:
+            text = self.decoder.decode(tokens)
+        else:
+            text = self.bpe.decode(ids)
+        if clean_up:
+            text = self.clean_up_tokenization_spaces(text)
+        return text
+
+    def clean_up_tokenization_spaces(self, text: str) -> str:
+        """Fixed replacement table + whitespace collapse (mod.rs:749-769)."""
+        for a, b in (
+            (" .", "."),
+            (" ,", ","),
+            (" !", "!"),
+            (" ?", "?"),
+            (" :", ":"),
+            (" ;", ";"),
+            ('" ', '"'),
+            (' "', '"'),
+            ("' ", "'"),
+            (" '", "'"),
+            ("( ", "("),
+            (" )", ")"),
+            ("[ ", "["),
+            (" ]", "]"),
+            (" - ", "-"),
+        ):
+            text = text.replace(a, b)
+        return _split_whitespace_join(text)
+
+    def decode_batch(self, batch) -> list[str]:
+        return [self.decode(ids) for ids in batch]
+
+    def decode_batch_with_options(
+        self, batch, skip_special_tokens: bool = False, clean_up_tokenization_spaces: bool = True
+    ) -> list[str]:
+        return [
+            self._decode_impl(ids, skip_special_tokens, clean_up_tokenization_spaces)
+            for ids in batch
+        ]
+
+    def batch_decode(
+        self, sequences, skip_special_tokens: bool = False, clean_up_tokenization_spaces: bool = True
+    ) -> list[str]:
+        return self.decode_batch_with_options(
+            sequences, skip_special_tokens, clean_up_tokenization_spaces
+        )
+
+    # ------------------------------------------------------------------
+    # Offset-tracking Encoding path (mod.rs:340-479)
+    # ------------------------------------------------------------------
+
+    def encode_to_encoding(self, text: str) -> Encoding:
+        return self._encode_to_encoding_impl(text, None, None, None)
+
+    def encode_pair_to_encoding(self, text: str, text_pair: str) -> Encoding:
+        return self._encode_to_encoding_impl(text, text_pair, None, None)
+
+    def encode_to_encoding_with_truncation(
+        self, text: str, text_pair: str | None, max_length: int, stride: int
+    ) -> Encoding:
+        return self._encode_to_encoding_impl(text, text_pair, max_length, stride)
+
+    def encode_with_truncation(
+        self, text: str, text_pair: str | None = None, max_length: int = 512, stride: int = 0
+    ) -> Encoding:
+        return self._encode_to_encoding_impl(text, text_pair, max_length, stride)
+
+    def _encode_to_encoding_impl(self, text, text_pair, max_length, stride) -> Encoding:
+        encoding = self._encode_single_to_encoding(text, 0)
+        if text_pair is not None:
+            encoding.merge(self._encode_single_to_encoding(text_pair, 1), 1)
+
+        # NOTE (parity): pair ids are already merged into `ids` before
+        # post-processing, so the pair template is never exercised here —
+        # this mirrors mod.rs:372-382 exactly.
+        if self.post_processor is not None:
+            processed = self.post_processor.process(list(encoding.ids), None)
+        else:
+            processed = list(encoding.ids)
+        added = len(processed) - len(encoding.ids)
+        encoding.ids = processed
+        encoding.attention_mask += [1] * added
+        encoding.special_tokens_mask += [1] * added
+        encoding.type_ids += [0] * added
+        encoding.mark_special_tokens(list(self.special_tokens.values()))
+
+        if max_length is not None and len(encoding) > max_length:
+            encoding.truncate_with_stride(max_length, stride or 0)
+        return encoding
+
+    def _encode_single_to_encoding(self, text: str, type_id: int) -> Encoding:
+        """Offset-tracking single-text encode (mod.rs:397-446).
+
+        Parity notes: this path does NOT do added-token matching; offsets
+        are byte offsets approximated by token byte lengths clamped to the
+        word span, with an original-text substring search fallback.
+        """
+        original = text
+        normalized = self.normalizer.normalize(text) if self.normalizer else text
+        words_with_offsets = self._pre_tokenize_with_offsets(normalized, original)
+
+        ids, tokens, offsets, word_ids = [], [], [], []
+        for word_idx, (word, word_start, word_end) in enumerate(words_with_offsets):
+            word_ids_part = self.bpe.encode(word)
+            token_char_offset = word_start
+            for tid in word_ids_part:
+                ids.append(tid)
+                token_str = self.vocab.get_token(tid) or ""
+                token_byte_len = len(token_str.encode("utf-8"))
+                token_end = min(token_char_offset + token_byte_len, word_end)
+                offsets.append((token_char_offset, token_end))
+                token_char_offset = token_end
+                tokens.append(token_str)
+                word_ids.append(word_idx)
+
+        n = len(ids)
+        return Encoding(
+            ids=ids,
+            type_ids=[type_id] * n,
+            tokens=tokens,
+            attention_mask=[1] * n,
+            special_tokens_mask=[0] * n,
+            offsets=offsets,
+            word_ids=word_ids,
+            sequence_ids=[type_id] * n,
+            overflowing=[],
+        )
+
+    def _pre_tokenize_with_offsets(self, normalized: str, original: str):
+        """Words + byte offsets into the original text (mod.rs:449-479)."""
+        words = (
+            self.pre_tokenizer.pre_tokenize(normalized)
+            if self.pre_tokenizer
+            else [normalized]
+        )
+        result = []
+        original_b = original.encode("utf-8")
+        search_start = 0
+        for word in words:
+            trimmed = word.lstrip("Ġ▁")
+            to_find = trimmed if trimmed else word
+            find_b = to_find.encode("utf-8")
+            pos = original_b.find(find_b, search_start) if find_b else -1
+            if pos >= 0:
+                start = pos
+                end = start + len(find_b)
+            else:
+                start = search_start
+                end = min(start + len(word.encode("utf-8")), len(original_b))
+            result.append((word, start, end))
+            search_start = end
+        return result
+
+    def encode_plus(self, text: str) -> Encoding:
+        return self.encode_to_encoding(text)
+
+    def batch_encode_plus(self, texts) -> list[Encoding]:
+        return [self.encode_to_encoding(t) for t in texts]
+
+    def encode_batch_to_encoding(self, texts) -> list[Encoding]:
+        return [self.encode_to_encoding(t) for t in texts]
+
+    def encode_batch_pairs_to_encoding(self, pairs) -> list[Encoding]:
+        return [self.encode_pair_to_encoding(a, b) for a, b in pairs]
+
+    def _pad_id_token(self):
+        pad_id = self.special_tokens.get("[PAD]")
+        if pad_id is None:
+            pad_id = self.special_tokens.get("<pad>")
+        if pad_id is None:
+            pad_id = 0
+        pad_token = self.vocab.get_token(pad_id) or "<pad>"
+        return pad_id, pad_token
+
+    def encode_batch_with_padding(
+        self, texts, max_length: int | None = None, pad_left: bool = False
+    ) -> list[Encoding]:
+        encs = [self.encode_to_encoding(t) for t in texts]
+        target = max_length if max_length is not None else max(
+            (len(e) for e in encs), default=0
+        )
+        pad_id, pad_token = self._pad_id_token()
+        for e in encs:
+            e.pad(target, pad_id, pad_token, pad_left)
+        return encs
+
+    def encode_batch_pairs_with_padding(
+        self, pairs, max_length: int | None = None, pad_left: bool = False
+    ) -> list[Encoding]:
+        encs = [self.encode_pair_to_encoding(a, b) for a, b in pairs]
+        target = max_length if max_length is not None else max(
+            (len(e) for e in encs), default=0
+        )
+        pad_id, pad_token = self._pad_id_token()
+        for e in encs:
+            e.pad(target, pad_id, pad_token, pad_left)
+        return encs
+
+    # ------------------------------------------------------------------
+    # transformers-style __call__ (bindings/tokenizer.rs:33-201)
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        text,
+        text_pair=None,
+        add_special_tokens: bool = True,
+        padding: str | None = None,
+        truncation: bool = False,
+        max_length: int | None = None,
+        stride: int = 0,
+        return_attention_mask: bool = True,
+        return_token_type_ids: bool = True,
+        return_offsets_mapping: bool = False,
+        return_special_tokens_mask: bool = False,
+    ) -> BatchEncoding:
+        if isinstance(text, (list, tuple)):
+            texts = list(text)
+            pairs = list(text_pair) if text_pair is not None else None
+            if pairs is not None:
+                encs = [
+                    self._call_one(a, b, add_special_tokens)
+                    for a, b in zip(texts, pairs)
+                ]
+            else:
+                encs = [self._call_one(t, None, add_special_tokens) for t in texts]
+        elif isinstance(text, str):
+            encs = [self._call_one(text, text_pair, add_special_tokens)]
+        else:
+            raise TypeError("Expected str or List[str]")
+
+        max_len = max_length if max_length is not None else self._model_max_length
+        if truncation:
+            for e in encs:
+                if len(e) > max_len:
+                    if stride > 0:
+                        e.truncate_with_stride(max_len, stride)
+                    else:
+                        e.truncate(max_len)
+
+        if padding is not None:
+            if padding == "max_length":
+                pad_to = max_len
+            else:
+                pad_to = max((len(e) for e in encs), default=0)
+            pad_id, pad_token = self._pad_id_token()
+            pad_left = padding == "left" or self._padding_side == "left"
+            for e in encs:
+                e.pad(pad_to, pad_id, pad_token, pad_left)
+
+        return BatchEncoding(
+            encs,
+            return_attention_mask,
+            return_token_type_ids,
+            return_offsets_mapping,
+            return_special_tokens_mask,
+        )
+
+    def _call_one(self, text, pair, add_special_tokens) -> Encoding:
+        if pair is not None:
+            if add_special_tokens:
+                return self.encode_pair_to_encoding(text, pair)
+            ids_a = self.encode(text)
+            ids_b = self.encode(pair)
+            enc = Encoding.from_ids(
+                ids_a, [t for t in (self.id_to_token(i) for i in ids_a) if t is not None]
+            )
+            enc_b = Encoding.from_ids(
+                ids_b, [t for t in (self.id_to_token(i) for i in ids_b) if t is not None]
+            )
+            enc.merge(enc_b, 1)
+            return enc
+        if add_special_tokens:
+            return self.encode_to_encoding(text)
+        ids = self.encode(text)
+        return Encoding.from_ids(
+            ids, [t for t in (self.id_to_token(i) for i in ids) if t is not None]
+        )
+
+    # ------------------------------------------------------------------
+    # Token management (mod.rs:791-850)
+    # ------------------------------------------------------------------
+
+    def add_token(self, content: str, tid: int, special: bool) -> None:
+        self.added_tokens[content] = tid
+        self.added_tokens_config[content] = AddedTokenConfig(
+            id=tid, special=special, normalized=not special
+        )
+        if special:
+            self.special_tokens[content] = tid
+        self._invalidate_pipeline()
+
+    def add_token_with_config(
+        self, content, tid, special, single_word=False, lstrip=False, rstrip=False
+    ) -> None:
+        self.added_tokens[content] = tid
+        self.added_tokens_config[content] = AddedTokenConfig(
+            id=tid,
+            special=special,
+            single_word=single_word,
+            lstrip=lstrip,
+            rstrip=rstrip,
+            normalized=not special,
+        )
+        if special:
+            self.special_tokens[content] = tid
+        self._invalidate_pipeline()
+
+    def add_tokens(self, tokens) -> None:
+        for content, tid, special in tokens:
+            self.add_token(content, tid, special)
+
+    def set_normalizer(self, normalizer) -> None:
+        self.normalizer = getattr(normalizer, "inner", normalizer)
+        self._invalidate_pipeline()
+
+    def set_pre_tokenizer(self, pre_tokenizer) -> None:
+        self.pre_tokenizer = getattr(pre_tokenizer, "inner", pre_tokenizer)
+        self._invalidate_pipeline()
+
+    def set_post_processor(self, post_processor) -> None:
+        self.post_processor = getattr(post_processor, "inner", post_processor)
+
+    def set_decoder(self, decoder) -> None:
+        self.decoder = getattr(decoder, "inner", decoder)
+
+    # ------------------------------------------------------------------
+    # Vocabulary access
+    # ------------------------------------------------------------------
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def token_to_id(self, token: str) -> int | None:
+        return self.vocab.get_id(token)
+
+    def id_to_token(self, tid: int) -> str | None:
+        return self.vocab.get_token(tid)
+
+    def get_vocab(self) -> dict[str, int]:
+        return dict(self.bpe.vocab)
+
+    def convert_ids_to_tokens(self, ids, skip_special_tokens: bool = False):
+        out = []
+        for i in ids:
+            tok = self.vocab.get_token(int(i))
+            if tok is not None and skip_special_tokens and tok in self.special_tokens:
+                out.append(None)
+            else:
+                out.append(tok)
+        return out
+
+    def convert_tokens_to_string(self, tokens) -> str:
+        if self.decoder is not None:
+            return self.decoder.decode(list(tokens))
+        return "".join(tokens)
+
+    def convert_tokens_to_ids(self, tokens):
+        return [self.vocab.get_id(t) for t in tokens]
+
+    def convert_token_to_id(self, token: str):
+        return self.vocab.get_id(token)
+
+    def get_special_tokens_mask(self, ids, already_has_special_tokens: bool = True):
+        if not already_has_special_tokens:
+            return [0] * len(ids)
+        out = []
+        for i in ids:
+            tok = self.vocab.get_token(int(i))
+            out.append(1 if tok is not None and tok in self.special_tokens else 0)
+        return out
+
+    def num_special_tokens_to_add(self, is_pair: bool = False) -> int:
+        pp = self.post_processor
+        if pp is None:
+            return 0
+        from .core.postprocessors import (
+            BertProcessing,
+            RobertaProcessing,
+            TemplateProcessing,
+        )
+
+        if isinstance(pp, BertProcessing):
+            return 3 if is_pair else 2
+        if isinstance(pp, RobertaProcessing):
+            return 4 if is_pair else 2
+        if isinstance(pp, TemplateProcessing):
+            template = (pp.pair if pp.pair is not None else pp.single) if is_pair else pp.single
+            return sum(1 for part in template.split() if not part.startswith("$"))
+        return 0
+
+    @property
+    def is_fast(self) -> bool:
+        return True
+
+    def tokenize(self, text: str) -> list[str]:
+        """Token strings without added-token matching (mod.rs:1080-1101)."""
+        normalized = self.normalizer.normalize(text) if self.normalizer else text
+        words = (
+            self.pre_tokenizer.pre_tokenize(normalized)
+            if self.pre_tokenizer
+            else [normalized]
+        )
+        tokens = []
+        for word in words:
+            for tid in self.bpe.encode(word):
+                tok = self.vocab.get_token(tid)
+                if tok is not None:
+                    tokens.append(tok)
+        return tokens
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+
+    @property
+    def model_max_length(self) -> int:
+        return self._model_max_length
+
+    @model_max_length.setter
+    def model_max_length(self, value: int) -> None:
+        self._model_max_length = value
+
+    @property
+    def padding_side(self) -> str:
+        return self._padding_side
+
+    @padding_side.setter
+    def padding_side(self, value: str) -> None:
+        self._padding_side = value
+
+    @property
+    def truncation_side(self) -> str:
+        return self._truncation_side
+
+    @truncation_side.setter
+    def truncation_side(self, value: str) -> None:
+        self._truncation_side = value
+
+    @property
+    def chat_template(self) -> str | None:
+        return self._chat_template
+
+    @chat_template.setter
+    def chat_template(self, value: str | None) -> None:
+        self._chat_template = value
+
+    # Special token properties
+    @property
+    def bos_token(self):
+        return self.vocab.special_tokens().bos_token
+
+    @property
+    def eos_token(self):
+        return self.vocab.special_tokens().eos_token
+
+    @property
+    def pad_token(self):
+        return self.vocab.special_tokens().pad_token
+
+    @property
+    def unk_token(self):
+        return self.vocab.special_tokens().unk_token
+
+    @property
+    def sep_token(self):
+        return self.vocab.special_tokens().sep_token
+
+    @property
+    def cls_token(self):
+        return self.vocab.special_tokens().cls_token
+
+    @property
+    def mask_token(self):
+        return self.vocab.special_tokens().mask_token
+
+    @property
+    def bos_token_id(self):
+        return self.vocab.bos_id()
+
+    @property
+    def eos_token_id(self):
+        return self.vocab.eos_id()
+
+    @property
+    def pad_token_id(self):
+        return self.vocab.pad_id()
+
+    @property
+    def unk_token_id(self):
+        return self.vocab.unk_id()
+
+    @property
+    def sep_token_id(self):
+        tok = self.sep_token
+        return self.vocab.get_id(tok) if tok else None
+
+    @property
+    def cls_token_id(self):
+        tok = self.cls_token
+        return self.vocab.get_id(tok) if tok else None
+
+    @property
+    def mask_token_id(self):
+        tok = self.mask_token
+        return self.vocab.get_id(tok) if tok else None
+
+    @property
+    def all_special_tokens(self) -> list[str]:
+        tokens = []
+        for tok in (
+            self.bos_token,
+            self.eos_token,
+            self.pad_token,
+            self.unk_token,
+            self.sep_token,
+            self.cls_token,
+            self.mask_token,
+        ):
+            if tok is not None:
+                tokens.append(tok)
+        for tok in self.special_tokens:
+            if tok not in tokens:
+                tokens.append(tok)
+        return tokens
+
+    @property
+    def all_special_ids(self) -> list[int]:
+        ids = []
+        for i in (
+            self.bos_token_id,
+            self.eos_token_id,
+            self.pad_token_id,
+            self.unk_token_id,
+            self.sep_token_id,
+            self.cls_token_id,
+            self.mask_token_id,
+        ):
+            if i is not None and i not in ids:
+                ids.append(i)
+        for i in self.special_tokens.values():
+            if i not in ids:
+                ids.append(i)
+        return ids
+
+    # ------------------------------------------------------------------
+    # Padding / truncation config (mod.rs:1117-1180)
+    # ------------------------------------------------------------------
+
+    def enable_padding(
+        self,
+        direction: str | None = None,
+        pad_to_multiple_of: int | None = None,
+        pad_id: int | None = None,
+        pad_token: str | None = None,
+        length: int | None = None,
+    ) -> None:
+        self.padding_config.enabled = True
+        self.padding_config.direction = direction or "right"
+        self.padding_config.pad_to_multiple_of = pad_to_multiple_of
+        if direction is not None:
+            self._padding_side = direction
+        self.padding_config.strategy = "max_length" if length is not None else "longest"
+        if pad_token is not None and pad_id is not None:
+            self.add_token(pad_token, pad_id, True)
+
+    def no_padding(self) -> None:
+        self.padding_config.enabled = False
+
+    def enable_truncation(
+        self,
+        max_length: int,
+        stride: int | None = None,
+        strategy: str | None = None,
+        direction: str | None = None,
+    ) -> None:
+        self.truncation_config.enabled = True
+        self.truncation_config.max_length = max_length
+        self.truncation_config.stride = stride or 0
+        self.truncation_config.strategy = strategy or "longest_first"
+        self.truncation_config.direction = direction or "right"
+        if direction is not None:
+            self._truncation_side = direction
+
+    def no_truncation(self) -> None:
+        self.truncation_config.enabled = False
+
+    def padding(self):
+        return self.padding_config if self.padding_config.enabled else None
+
+    def truncation(self):
+        return self.truncation_config if self.truncation_config.enabled else None
+
+    # ------------------------------------------------------------------
+    # Add special tokens (mod.rs:1186-1222)
+    # ------------------------------------------------------------------
+
+    def add_special_tokens(self, special_tokens_dict: dict) -> int:
+        num_added = 0
+        for _key, value in special_tokens_dict.items():
+            existing = self.vocab.get_id(value)
+            if existing is None:
+                tid = self.vocab_size
+                num_added += 1
+            else:
+                tid = existing
+            self.special_tokens[value] = tid
+            self.added_tokens[value] = tid
+            self.added_tokens_config.setdefault(
+                value, AddedTokenConfig(id=tid, special=True)
+            )
+        self._invalidate_pipeline()
+        return num_added
+
+    def add_special_tokens_list(self, tokens) -> int:
+        num_added = 0
+        for token in tokens:
+            if self.vocab.get_id(token) is None and token not in self.added_tokens:
+                new_id = self.vocab_size + len(self.added_tokens)
+                self.special_tokens[token] = new_id
+                self.added_tokens[token] = new_id
+                self.added_tokens_config.setdefault(
+                    token, AddedTokenConfig(id=new_id, special=True)
+                )
+                num_added += 1
+        self._invalidate_pipeline()
+        return num_added
+
+    # ------------------------------------------------------------------
+    # Training (mod.rs:1231-1320)
+    # ------------------------------------------------------------------
+
+    def train_new_from_iterator(self, texts, vocab_size: int) -> "Tokenizer":
+        """Train a new vocab with the same pipeline config (classic BPE)."""
+        from .trainers.bpe_trainer import BpeTrainer, BpeTrainerConfig
+
+        special_tokens = self.all_special_tokens
+        config = BpeTrainerConfig(
+            vocab_size=vocab_size,
+            min_frequency=2,
+            special_tokens=list(special_tokens),
+            show_progress=True,
+            end_of_word_suffix=None,
+            continuing_subword_prefix=None,
+        )
+        trainer = BpeTrainer(config)
+        texts_list = list(texts)
+        if self.pre_tokenizer is not None:
+            processed = []
+            for t in texts_list:
+                normalized = self.normalizer.normalize(t) if self.normalizer else t
+                processed.extend(self.pre_tokenizer.pre_tokenize(normalized))
+        else:
+            processed = [str(t) for t in texts_list]
+        vocab, merges = trainer.train(processed)
+
+        new = Tokenizer()
+        new.bpe = BpeTokenizer(vocab, merges)
+        for token in special_tokens:
+            tid = vocab.get(token)
+            if tid is not None:
+                new.special_tokens[token] = tid
+                new.added_tokens[token] = tid
+                new.added_tokens_config[token] = AddedTokenConfig(
+                    id=tid, special=True, normalized=False
+                )
+        new.vocab = Vocab(vocab, self.vocab.special_tokens())
+        new.normalizer = self.normalizer
+        new.pre_tokenizer = self.pre_tokenizer
+        new.post_processor = self.post_processor
+        new.decoder = self.decoder
+        new._model_max_length = self._model_max_length
+        new._padding_side = self._padding_side
+        new._truncation_side = self._truncation_side
+        new._chat_template = self._chat_template
+        new.padding_config = self.padding_config
+        new.truncation_config = self.truncation_config
+        return new
+
+    # ------------------------------------------------------------------
+    # Post-processing / chat / prepare_for_model
+    # ------------------------------------------------------------------
+
+    def post_process(self, encoding: Encoding, pair_encoding: Encoding | None = None) -> Encoding:
+        result = encoding
+        if pair_encoding is not None:
+            result.merge(pair_encoding, 1)
+        if self.post_processor is not None:
+            original_len = len(result.ids)
+            processed = self.post_processor.process(list(result.ids), None)
+            added = len(processed) - original_len
+            result.ids = processed
+            result.attention_mask += [1] * added
+            result.special_tokens_mask += [1] * added
+            result.type_ids += [0] * added
+            result.offsets += [(0, 0)] * added
+            result.word_ids += [None] * added
+            result.sequence_ids += [None] * added
+            result.mark_special_tokens(list(self.special_tokens.values()))
+        return result
+
+    def apply_chat_template(
+        self, messages, add_generation_prompt: bool = False, tokenize: bool = True
+    ):
+        if self._chat_template is None:
+            raise ValueError("No chat template set for this tokenizer")
+        bos = self.vocab.special_tokens().bos_token or "<s>"
+        eos = self.vocab.special_tokens().eos_token or "</s>"
+        result = chat_mod.apply_chat_template(
+            self._chat_template, messages, add_generation_prompt, bos, eos
+        )
+        if tokenize:
+            return self.encode(result)
+        return result
+
+    def prepare_for_model(
+        self,
+        ids,
+        pair_ids=None,
+        add_special_tokens: bool = True,
+        padding: str | None = None,
+        truncation: bool = False,
+        max_length: int | None = None,
+        stride: int = 0,
+        return_attention_mask: bool = True,
+    ) -> Encoding:
+        """Frame pre-tokenized ids (mod.rs:1388-1462)."""
+
+        def _tokens_for(id_list):
+            return [t for t in (self.vocab.get_token(int(i)) for i in id_list) if t is not None]
+
+        ids = [int(i) for i in ids]
+        encoding = Encoding.from_ids(ids, _tokens_for(ids))
+        if pair_ids is not None:
+            pair_ids = [int(i) for i in pair_ids]
+            encoding.merge(Encoding.from_ids(pair_ids, _tokens_for(pair_ids)), 1)
+
+        if add_special_tokens and self.post_processor is not None:
+            processed = self.post_processor.process(list(encoding.ids), None)
+            added = len(processed) - len(encoding.ids)
+            encoding.ids = processed
+            encoding.attention_mask += [1] * added
+            encoding.special_tokens_mask += [1] * added
+            encoding.type_ids += [0] * added
+
+        max_len = max_length if max_length is not None else self._model_max_length
+        if truncation and len(encoding) > max_len:
+            if stride > 0:
+                encoding.truncate_with_stride(max_len, stride)
+            else:
+                encoding.truncate(max_len)
+
+        if padding is not None:
+            pad_id, pad_token = self._pad_id_token()
+            pad_left = padding == "left" or self._padding_side == "left"
+            if padding in ("max_length", "longest", "left", "right"):
+                encoding.pad(max_len, pad_id, pad_token, pad_left)
+        return encoding
+
+    def push_to_hub(
+        self, repo_id: str, token: str | None = None, private: bool = False
+    ) -> str:
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="tokenizer_upload_") as tmp:
+            self.save_pretrained(tmp)
+            return hub_mod.push_to_hub(Path(tmp), repo_id, token, private)
+
+    # ------------------------------------------------------------------
+    # Serialization (mod.rs:1468-1557)
+    # ------------------------------------------------------------------
+
+    def _to_tokenizer_json(self) -> dict:
+        vocab = dict(self.bpe.vocab)
+        vocab_r = self.bpe.vocab_r
+        merges = [
+            f"{vocab_r.get(pair[0], '')} {vocab_r.get(pair[1], '')}"
+            for pair, _new_id in self.bpe.merges
+        ]
+        added_tokens = []
+        for content, tid in self.added_tokens.items():
+            cfg = self.added_tokens_config.get(content)
+            added_tokens.append(
+                {
+                    "id": tid,
+                    "content": content,
+                    "special": cfg.special if cfg else content in self.special_tokens,
+                    "single_word": cfg.single_word if cfg else False,
+                    "lstrip": cfg.lstrip if cfg else False,
+                    "rstrip": cfg.rstrip if cfg else False,
+                    "normalized": cfg.normalized if cfg else False,
+                }
+            )
+        return {
+            "version": "1.0",
+            "model": {"type": "BPE", "vocab": vocab, "merges": merges},
+            "added_tokens": added_tokens,
+            "normalizer": (
+                serialization.serialize_normalizer(self.normalizer)
+                if self.normalizer is not None
+                else None
+            ),
+            "pre_tokenizer": (
+                serialization.serialize_pre_tokenizer(self.pre_tokenizer)
+                if self.pre_tokenizer is not None
+                else None
+            ),
+            "post_processor": (
+                serialization.serialize_post_processor(
+                    self.post_processor, self.special_tokens
+                )
+                if self.post_processor is not None
+                else None
+            ),
+            "decoder": (
+                serialization.serialize_decoder(self.decoder)
+                if self.decoder is not None
+                else None
+            ),
+        }
+
+    def save(self, path) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self._to_tokenizer_json(), f, ensure_ascii=False, indent=2)
+
+    def save_pretrained(self, directory) -> None:
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        self.save(d / "tokenizer.json")
+        st = self.vocab.special_tokens()
+        config = {
+            "tokenizer_class": "PreTrainedTokenizerFast",
+            "model_type": "bpe",
+            "bos_token": st.bos_token,
+            "eos_token": st.eos_token,
+            "unk_token": st.unk_token,
+            "pad_token": st.pad_token,
+            "sep_token": st.sep_token,
+            "cls_token": st.cls_token,
+            "mask_token": st.mask_token,
+        }
+        (d / "tokenizer_config.json").write_text(json.dumps(config, indent=2))
+        special_map = {k: v for k, v in config.items() if k.endswith("_token")}
+        (d / "special_tokens_map.json").write_text(json.dumps(special_map, indent=2))

@@ -1,0 +1,337 @@
+"""INL-BPE trainer: BPE merge learning with INL-dynamics-scored selection.
+
+Semantics match `/root/reference/src/trainer.rs:69-651`:
+
+- ByteLevel pre-tokenization with NFC normalization by default;
+- streaming accumulation via ``count_batch`` / ``finish_training``;
+- merge selection by score = pair_freq - gate * (v_a' + v_b') where
+  v' = clamp(alpha * v - clamp(beta, 0, beta_max) * (tok_freq - mu), +/-v_max)
+  and mu = mu_target * total_token_freq (trainer.rs:369-403).  Note the
+  stored velocities are only ever written at token mint time as
+  (v_a + v_b) / 2 — matching the reference exactly, including the fact
+  that this leaves all stored velocities at 0.0;
+- candidate scores refresh every 100 merges with stale-entry skipping
+  (trainer.rs:406-516);
+- incremental pair-count deltas on merge application (trainer.rs:519-588),
+  here accelerated with a pair -> containing-words reverse index instead of
+  the reference's full scan per merge;
+- save() emits tokenizer.json with ByteLevel pre_tokenizer/decoder
+  (trainer.rs:598-651).
+
+The distributed device path (sharded pair-count histograms + psum) lives in
+``parallel/trainer.py`` and reuses this class's scoring math.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import sys
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+
+from ..core import normalizers as N
+from ..core import pretokenizers as PT
+
+__all__ = ["TrainerConfig", "InlBpeTrainer"]
+
+
+@dataclass
+class TrainerConfig:
+    vocab_size: int = 32000
+    min_frequency: int = 2
+    special_tokens: list = field(
+        default_factory=lambda: ["</s>", "<pad>", "<s>", "<unk>"]
+    )
+    min_word_length: int = 1
+    inl_alpha: float = 0.9
+    inl_beta: float = 0.3
+    inl_gate: float = 0.5
+    inl_mu_target: float = 0.01
+    inl_velocity_max: float = 10.0
+    inl_beta_max: float = 2.0
+    normalizer: object | None = field(default_factory=N.NFC)
+    pre_tokenizer: object | None = field(
+        default_factory=lambda: PT.ByteLevel(add_prefix_space=False)
+    )
+
+
+class InlBpeTrainer:
+    def __init__(self, config: TrainerConfig | None = None, **kwargs):
+        # kwargs form matches the reference's Python constructor signature
+        # (bindings/trainers.rs:18-55): Trainer(vocab_size=..., inl_alpha=...)
+        if config is None:
+            config = TrainerConfig(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either a TrainerConfig or keyword arguments")
+        self.config = config
+        self.vocab: dict[str, int] = {}
+        self.vocab_r: dict[int, str] = {}
+        self.merges: list[tuple[str, str]] = []
+        self.token_freqs: dict[int, int] = defaultdict(int)
+        self.velocity: dict[int, float] = {}
+        self.pair_freqs: dict[tuple[int, int], int] = defaultdict(int)
+        self._word_freqs_accumulator: Counter = Counter()
+
+    # ------------------------------------------------------------------
+    # Corpus ingestion
+    # ------------------------------------------------------------------
+
+    def _pretokenize(self, text: str) -> list[str]:
+        if self.config.normalizer is not None:
+            text = self.config.normalizer.normalize(text)
+        if self.config.pre_tokenizer is not None:
+            return self.config.pre_tokenizer.pre_tokenize(text)
+        return PT.ByteLevel(add_prefix_space=False).pre_tokenize(text)
+
+    def train(self, files) -> None:
+        print("Step 1: Counting word frequencies...")
+        word_freqs: Counter = Counter()
+        for path in files:
+            with open(path, "r", encoding="utf-8") as f:
+                for line in f:
+                    for word in self._pretokenize(line.rstrip("\n")):
+                        if len(word) >= self.config.min_word_length:
+                            word_freqs[word] += 1
+        word_freqs = Counter(
+            {w: f for w, f in word_freqs.items() if f >= self.config.min_frequency}
+        )
+        print(f"  Found {len(word_freqs)} unique words")
+        self._train_from_word_freqs(word_freqs)
+
+    def train_from_texts(self, texts) -> None:
+        print("Step 1: Counting word frequencies (ByteLevel)...")
+        word_freqs: Counter = Counter()
+        for text in texts:
+            for word in self._pretokenize(text):
+                if len(word) >= self.config.min_word_length:
+                    word_freqs[word] += 1
+        word_freqs = Counter(
+            {w: f for w, f in word_freqs.items() if f >= self.config.min_frequency}
+        )
+        print(f"  Found {len(word_freqs)} unique words")
+        self._train_from_word_freqs(word_freqs)
+
+    train_from_iterator = train_from_texts
+
+    def count_batch(self, texts) -> None:
+        """Streaming accumulation (trainer.rs:209-222)."""
+        for text in texts:
+            for word in self._pretokenize(text):
+                if len(word) >= self.config.min_word_length:
+                    self._word_freqs_accumulator[word] += 1
+
+    def finish_training(self) -> None:
+        word_freqs = Counter(
+            {
+                w: f
+                for w, f in self._word_freqs_accumulator.items()
+                if f >= self.config.min_frequency
+            }
+        )
+        self._word_freqs_accumulator = Counter()
+        print(f"  Found {len(word_freqs)} unique words")
+        self._train_from_word_freqs(word_freqs)
+
+    # ------------------------------------------------------------------
+    # Training core
+    # ------------------------------------------------------------------
+
+    def _train_from_word_freqs(self, word_freqs: Counter) -> None:
+        print("Step 2: Initializing vocabulary (ByteLevel alphabet)...")
+        words, freqs = self._init_vocab(word_freqs)
+        print(f"  Initial vocab size: {len(self.vocab)}")
+
+        print("Step 3: Computing initial pair frequencies...")
+        pair_words: dict[tuple[int, int], set[int]] = defaultdict(set)
+        for wi, toks in enumerate(words):
+            f = freqs[wi]
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                self.pair_freqs[p] += f
+                pair_words[p].add(wi)
+        print(f"  Found {len(self.pair_freqs)} unique pairs")
+
+        print("Step 4: Learning merges with INL dynamics...")
+        self._learn_merges(words, freqs, pair_words)
+        print(f"  Final vocab size: {len(self.vocab)}")
+        print(f"  Total merges: {len(self.merges)}")
+
+    def _init_vocab(self, word_freqs: Counter):
+        next_id = 0
+        for tok in self.config.special_tokens:
+            self.vocab[tok] = next_id
+            self.vocab_r[next_id] = tok
+            next_id += 1
+        chars = sorted({c for w in word_freqs for c in w})
+        for c in chars:
+            if c not in self.vocab:
+                self.vocab[c] = next_id
+                self.vocab_r[next_id] = c
+                next_id += 1
+        words: list[list[int]] = []
+        freqs: list[int] = []
+        get = self.vocab.get
+        for w, f in word_freqs.items():
+            toks = [t for t in (get(c) for c in w) if t is not None]
+            words.append(toks)
+            freqs.append(f)
+            for t in toks:
+                self.token_freqs[t] += f
+        for tid in self.vocab.values():
+            self.velocity[tid] = 0.0
+        return words, freqs
+
+    def _scores(self):
+        """Score every live pair with the INL dynamics (trainer.rs:369-403)."""
+        cfg = self.config
+        total_freq = sum(self.token_freqs.values())
+        mu = cfg.inl_mu_target * total_freq
+        beta = min(max(cfg.inl_beta, 0.0), cfg.inl_beta_max)
+        vmax = cfg.inl_velocity_max
+        tf = self.token_freqs
+        vel = self.velocity
+        out = []
+        for pair, freq in self.pair_freqs.items():
+            if freq <= 0:
+                continue
+            a, b = pair
+            err_a = tf.get(a, 0) - mu
+            err_b = tf.get(b, 0) - mu
+            v_a = cfg.inl_alpha * vel.get(a, 0.0) - beta * err_a
+            v_b = cfg.inl_alpha * vel.get(b, 0.0) - beta * err_b
+            v_a = max(-vmax, min(vmax, v_a))
+            v_b = max(-vmax, min(vmax, v_b))
+            score = freq - cfg.inl_gate * (v_a + v_b)
+            out.append((score, pair))
+        return out
+
+    def _learn_merges(self, words, freqs, pair_words) -> None:
+        cfg = self.config
+        target = cfg.vocab_size
+        rebuild_interval = 100
+        iteration = 0
+        target_merges = max(target - len(self.vocab), 0)
+
+        while len(self.vocab) < target:
+            # negated scores -> min-heap pops the max score
+            heap = [(-s, p) for s, p in self._scores()]
+            heapq.heapify(heap)
+            for _ in range(rebuild_interval):
+                if len(self.vocab) >= target:
+                    break
+                pair = None
+                while heap:
+                    _, cand = heapq.heappop(heap)
+                    if self.pair_freqs.get(cand, 0) > 0:
+                        pair = cand
+                        break
+                if pair is None:
+                    break
+                a, b = pair
+                merged = self.vocab_r[a] + self.vocab_r[b]
+                new_id = len(self.vocab)
+                self.vocab[merged] = new_id
+                self.vocab_r[new_id] = merged
+                self.merges.append((self.vocab_r[a], self.vocab_r[b]))
+                self._apply_merge(words, freqs, pair_words, pair, new_id)
+                v_a = self.velocity.get(a, 0.0)
+                v_b = self.velocity.get(b, 0.0)
+                self.velocity[new_id] = (v_a + v_b) / 2.0
+                iteration += 1
+                if iteration % 1000 == 0 and target_merges:
+                    print(
+                        f"\r  {iteration}/{target_merges}"
+                        f" ({iteration / target_merges * 100:.1f}%)",
+                        end="",
+                        file=sys.stderr,
+                    )
+            if not any(v > 0 for v in self.pair_freqs.values()):
+                break
+        if target_merges:
+            print(f"\r  {iteration}/{target_merges} done", file=sys.stderr)
+
+    def _apply_merge(self, words, freqs, pair_words, pair, new_id) -> None:
+        """Merge + incremental pair deltas (trainer.rs:519-588), touching
+        only words known to contain the pair."""
+        a, b = pair
+        self.pair_freqs.pop(pair, None)
+        affected = pair_words.pop(pair, set())
+        new_token_freq = 0
+        pf = self.pair_freqs
+        pw = pair_words
+        for wi in affected:
+            toks = words[wi]
+            f = freqs[wi]
+            i = 0
+            while i < len(toks) - 1:
+                if toks[i] == a and toks[i + 1] == b:
+                    if i > 0:
+                        left = (toks[i - 1], a)
+                        pf[left] -= f
+                    if i + 2 < len(toks):
+                        right = (b, toks[i + 2])
+                        pf[right] -= f
+                    toks[i] = new_id
+                    del toks[i + 1]
+                    if i > 0:
+                        nl = (toks[i - 1], new_id)
+                        pf[nl] += f
+                        pw[nl].add(wi)
+                    if i + 1 < len(toks):
+                        nr = (new_id, toks[i + 1])
+                        pf[nr] += f
+                        pw[nr].add(wi)
+                    new_token_freq += f
+                else:
+                    i += 1
+        if a in self.token_freqs:
+            self.token_freqs[a] = max(self.token_freqs[a] - new_token_freq, 0)
+        if b in self.token_freqs:
+            self.token_freqs[b] = max(self.token_freqs[b] - new_token_freq, 0)
+        self.token_freqs[new_id] = new_token_freq
+        # prune dead entries
+        for p in [p for p, v in pf.items() if v <= 0]:
+            del pf[p]
+            pair_words.pop(p, None)
+
+    # ------------------------------------------------------------------
+    # Accessors / save
+    # ------------------------------------------------------------------
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def num_merges(self) -> int:
+        return len(self.merges)
+
+    def save(self, path) -> None:
+        """tokenizer.json with ByteLevel pretok/decoder (trainer.rs:598-651)."""
+        merges_str = [f"{a} {b}" for a, b in self.merges]
+        added_tokens = [
+            {
+                "id": i,
+                "content": tok,
+                "special": True,
+                "single_word": False,
+                "lstrip": False,
+                "rstrip": False,
+                "normalized": False,
+            }
+            for i, tok in enumerate(self.config.special_tokens)
+        ]
+        tokenizer_json = {
+            "version": "1.0",
+            "model": {"type": "BPE", "vocab": self.vocab, "merges": merges_str},
+            "added_tokens": added_tokens,
+            "pre_tokenizer": {
+                "type": "ByteLevel",
+                "add_prefix_space": False,
+                "use_regex": True,
+            },
+            "decoder": {"type": "ByteLevel"},
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(tokenizer_json, f, ensure_ascii=False, indent=2)

@@ -1,0 +1,183 @@
+"""Ports of models.rs + trainer tests (models.rs:823-969, trainer.rs:658-706,
+bpe_trainer.rs:474-524, trainers.rs:552-589)."""
+
+from complexity_tokenizer_tpu.models import (
+    ByteLevelBpeModel,
+    CharBpeModel,
+    UnigramModel,
+    WordLevelModel,
+    WordPieceModel,
+)
+from complexity_tokenizer_tpu.trainers import (
+    BpeTrainer,
+    BpeTrainerBuilder,
+    BpeTrainerConfig,
+    InlBpeTrainer,
+    TrainerConfig,
+    UnigramTrainer,
+    UnigramTrainerConfig,
+    WordPieceTrainer,
+    WordPieceTrainerConfig,
+)
+
+
+def test_wordpiece():
+    vocab = {"[UNK]": 0, "hello": 1, "world": 2, "##ing": 3, "play": 4, "##ed": 5}
+    model = WordPieceModel(vocab, "##", "[UNK]", 100)
+    assert model.encode("hello world") == [1, 2]
+    assert model.decode([1, 2]) == "hello world"
+
+
+def test_wordpiece_subwords():
+    vocab = {"[UNK]": 0, "play": 1, "##ing": 2, "##ed": 3}
+    model = WordPieceModel(vocab, "##", "[UNK]", 100)
+    assert model.encode("playing") == [1, 2]
+    assert model.decode([1, 2]) == "playing"
+
+
+def test_wordpiece_max_chars():
+    vocab = {"[UNK]": 0, "a": 1}
+    model = WordPieceModel(vocab, "##", "[UNK]", 3)
+    assert model.encode("aaaa") == [0]
+
+
+def test_unigram():
+    vocab = [
+        ("<unk>", -10.0),
+        ("a", -1.0),
+        ("b", -1.0),
+        ("c", -1.0),
+        ("ab", -0.5),
+        ("bc", -0.5),
+        ("abc", -0.2),
+    ]
+    model = UnigramModel(vocab, "<unk>")
+    tokens = model.encode("abc")
+    assert len(tokens) == 1
+    assert model.id_to_token(tokens[0]) == "abc"
+
+
+def test_word_level():
+    vocab = {"<unk>": 0, "hello": 1, "world": 2}
+    model = WordLevelModel(vocab, "<unk>")
+    assert model.encode("hello world") == [1, 2]
+    assert model.decode([1, 2]) == "hello world"
+    assert model.encode("hello unknown") == [1, 0]
+
+
+def test_char_bpe():
+    vocab = {"<unk>": 0, "h": 1, "i</w>": 2, "hi</w>": 3}
+    merges = [("h", "i</w>")]
+    model = CharBpeModel(vocab, merges, "</w>", "<unk>")
+    assert model.encode("hi") == [3]
+    assert model.decode([3]) == "hi"
+
+
+def test_byte_level_bpe():
+    vocab = {"<unk>": 0, "Ġ": 1, "h": 2, "i": 3, "Ġh": 4, "hi": 5, "Ġhi": 6}
+    merges = [("Ġ", "h"), ("h", "i"), ("Ġh", "i")]
+    model = ByteLevelBpeModel(vocab, merges, "<unk>", True)
+    tokens = model.encode("hi")
+    assert tokens
+    assert "hi" in model.decode(tokens)
+
+
+def test_bpe_trainer_basic():
+    trainer = (
+        BpeTrainerBuilder()
+        .vocab_size(100)
+        .min_frequency(1)
+        .show_progress(False)
+        .build()
+    )
+    texts = ["hello world", "hello there", "world hello", "hello hello hello"]
+    vocab, merges = trainer.train(texts)
+    assert len(vocab) >= 4
+    assert merges
+    # "hello" should be learnable as a token
+    assert "hello" in vocab
+
+
+def test_bpe_trainer_with_suffix():
+    trainer = (
+        BpeTrainerBuilder()
+        .vocab_size(50)
+        .min_frequency(1)
+        .end_of_word_suffix("</w>")
+        .show_progress(False)
+        .build()
+    )
+    vocab, _ = trainer.train(["hello world"])
+    assert any("</w>" in k for k in vocab)
+
+
+def test_bpe_trainer_config():
+    config = BpeTrainerConfig(vocab_size=10000, min_frequency=5)
+    trainer = BpeTrainer(config)
+    assert trainer.config.vocab_size == 10000
+    assert trainer.config.min_frequency == 5
+
+
+def test_inl_trainer_basic(tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("hello world hello world\nhello hello hello\n")
+    trainer = InlBpeTrainer(TrainerConfig(vocab_size=300, min_frequency=1))
+    trainer.train([p])
+    assert trainer.vocab_size > 10
+    assert trainer.num_merges > 0
+    out = tmp_path / "tok.json"
+    trainer.save(out)
+    from complexity_tokenizer_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer.from_file(out)
+    tok.use_device = False
+    ids = tok.encode("hello world")
+    assert ids
+    assert tok.decode_with_options(ids, False, False) == "hello world"
+
+
+def test_inl_zeroed_matches_classic_greedy(tmp_path):
+    # INL params zeroed -> scores are plain pair frequencies
+    p = tmp_path / "c.txt"
+    p.write_text("aaa bbb aaa bbb ccc\n")
+    trainer = InlBpeTrainer(
+        TrainerConfig(
+            vocab_size=300, min_frequency=1, inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0
+        )
+    )
+    trainer.train([p])
+    assert trainer.num_merges > 0
+
+
+def test_inl_streaming_accumulation():
+    trainer = InlBpeTrainer(TrainerConfig(vocab_size=300, min_frequency=1))
+    trainer.count_batch(["hello world"])
+    trainer.count_batch(["hello there", "world hello"])
+    trainer.finish_training()
+    assert trainer.vocab_size > 10
+
+
+def test_wordpiece_trainer():
+    config = WordPieceTrainerConfig(vocab_size=100, min_frequency=1)
+    trainer = WordPieceTrainer(config)
+    model = trainer.train_from_texts(["hello world", "hello there", "world peace"])
+    assert model.vocab_size > 0
+    assert model.encode("hello")
+
+
+def test_unigram_trainer():
+    config = UnigramTrainerConfig(
+        vocab_size=50, initial_vocab_size=100, n_iterations=2
+    )
+    trainer = UnigramTrainer(config)
+    model = trainer.train_from_texts(["hello world", "hello there", "world peace"])
+    assert model.vocab_size > 0
+
+
+def test_inl_byte_alphabet_size():
+    from complexity_tokenizer_tpu.utils.bytelevel import bytes_to_unicode
+
+    assert len(bytes_to_unicode()) == 256
+    enc = bytes_to_unicode()
+    assert enc[ord("a")] == "a"
+    assert enc[ord("Z")] == "Z"
