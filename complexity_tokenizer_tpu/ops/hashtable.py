@@ -24,13 +24,15 @@ _MIX = np.uint32(0x27D4EB2F)
 
 
 def _mix_hash_np(a: np.ndarray, b: np.ndarray, mask: int) -> np.ndarray:
-    a = a.astype(np.uint32)
-    b = b.astype(np.uint32)
-    h = (a * _MUL_A) ^ (b * _MUL_B)
-    h = h ^ (h >> np.uint32(15))
-    h = h * _MIX
-    h = h ^ (h >> np.uint32(13))
-    return (h & np.uint32(mask)).astype(np.int32)
+    with np.errstate(over="ignore"):  # uint32 wraparound is the point
+        a = np.asarray(a, np.uint64) & np.uint64(0xFFFFFFFF)
+        b = np.asarray(b, np.uint64) & np.uint64(0xFFFFFFFF)
+        M = np.uint64(0xFFFFFFFF)
+        h = ((a * np.uint64(int(_MUL_A))) & M) ^ ((b * np.uint64(int(_MUL_B))) & M)
+        h = h ^ (h >> np.uint64(15))
+        h = (h * np.uint64(int(_MIX))) & M
+        h = h ^ (h >> np.uint64(13))
+        return (h & np.uint64(mask)).astype(np.int32)
 
 
 def mix_hash_jnp(a, b, mask: int):

@@ -1,0 +1,19 @@
+from . import mesh
+from .encode import shard_encode_pipeline
+from .mesh import batch_sharding, data_mesh, initialize_distributed
+
+__all__ = [
+    "mesh",
+    "shard_encode_pipeline",
+    "batch_sharding",
+    "data_mesh",
+    "initialize_distributed",
+]
+
+
+def __getattr__(name):
+    if name == "DistributedInlTrainer":
+        from .trainer import DistributedInlTrainer
+
+        return DistributedInlTrainer
+    raise AttributeError(name)

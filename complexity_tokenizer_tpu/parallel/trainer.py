@@ -1,0 +1,273 @@
+"""Distributed INL-BPE trainer: sharded corpus tensors + psum histograms.
+
+The reference's trainer is rayon fold/reduce pair counting plus a full
+par_iter_mut pass per merge (trainer.rs:342-366, 519-588).  The TPU-native
+redesign:
+
+- the unique-word corpus lives as a ``[N, W]`` int32 tensor (plus ``[N]``
+  freqs), sharded over the mesh ``data`` axis;
+- the initial pair histogram is a dense ``[V0*V0]`` scatter-add per shard,
+  reduced with ``psum`` (V0 = alphabet+specials, a few hundred);
+- each merge step runs one device pass: select all non-overlapping
+  occurrences of the chosen pair (same parity machinery as the encode
+  kernel), apply them, and emit the *net* pair-count deltas as four dense
+  ``[V]`` histograms — destroyed (x,a) / (b,y), created (x',new) /
+  (new,y') — reduced with ``psum``.  Net deltas equal the reference's
+  sequential bookkeeping because sequential application's total effect on
+  pair counts is exactly post-pairs minus pre-pairs; edge double-counting
+  between adjacent occurrences is avoided by attributing the shared pair to
+  the left edge only;
+- merge *selection* (the INL scoring + heap) stays on the host, identical
+  on every host because the reduced histogram is identical — no broadcast
+  needed (SURVEY §5.8).
+
+Runs unchanged on 1 device, an 8-device CPU mesh, or a multi-host pod
+slice.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from ..trainers.inl_trainer import InlBpeTrainer, TrainerConfig
+from .mesh import DATA_AXIS, data_mesh
+
+__all__ = ["DistributedInlTrainer", "make_merge_step", "make_initial_hist"]
+
+
+def make_initial_hist(v0: int):
+    """jittable: [n, W] words + [n] freqs -> dense [v0*v0] pair histogram."""
+    import jax.numpy as jnp
+
+    def fn(words, freqs):
+        left = words[:, :-1]
+        right = words[:, 1:]
+        valid = (left >= 0) & (right >= 0)
+        key = jnp.where(valid, left * v0 + right, v0 * v0)
+        hist = jnp.zeros(v0 * v0 + 1, dtype=jnp.int32)
+        hist = hist.at[key].add(freqs[:, None].astype(jnp.int32))
+        return hist[: v0 * v0]
+
+    return fn
+
+
+def make_merge_step(vocab_bound: int):
+    """jittable: apply pair (a,b)->new_id to all rows; emit net deltas.
+
+    Returns (words', delta [vocab_bound, 4] int32, minted_freq int32):
+      kind 0: destroyed (x, a) counts indexed by x
+      kind 1: destroyed (b, y) counts indexed by y
+      kind 2: created (x', new) counts indexed by x'
+      kind 3: created (new, y') counts indexed by y'
+    """
+    import jax
+    import jax.numpy as jnp
+
+    V = vocab_bound
+
+    def fn(words, freqs, a, b, new_id):
+        n, W = words.shape
+        idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+        w_next = jnp.concatenate(
+            [words[:, 1:], jnp.full((n, 1), -1, jnp.int32)], axis=1
+        )
+        matches = (words == a) & (w_next == b)
+        # leftmost non-overlap parity (only needed when a == b)
+        not_m = jnp.where(matches, -1, idx)
+        last_nm = jax.lax.cummax(not_m, axis=1)
+        selected = matches & ((idx - last_nm - 1) % 2 == 0)
+
+        sel_prev2 = jnp.pad(selected[:, :-2], ((0, 0), (2, 0)))  # selected[i-2]
+        sel_next2 = jnp.pad(selected[:, 2:], ((0, 0), (0, 2)))  # selected[i+2]
+        w_prev = jnp.pad(words[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+        w_next2 = jnp.pad(words[:, 2:], ((0, 0), (0, 2)), constant_values=-1)
+
+        f = freqs[:, None].astype(jnp.int32)
+        left_alive = selected & (w_prev >= 0)
+        right_alive = selected & (w_next2 >= 0)
+
+        delta = jnp.zeros((V, 4), dtype=jnp.int32)
+        # destroyed (x, a): always when left neighbor alive
+        delta = delta.at[jnp.where(left_alive, w_prev, V - 1), 0].add(
+            jnp.where(left_alive, f, 0)
+        )
+        # destroyed (b, y): only when y is not the 'a' of the next match
+        dr = right_alive & ~sel_next2
+        delta = delta.at[jnp.where(dr, w_next2, V - 1), 1].add(jnp.where(dr, f, 0))
+        # created (x', new): x' = new if previous match adjacent
+        xp = jnp.where(sel_prev2, new_id, w_prev)
+        delta = delta.at[jnp.where(left_alive, xp, V - 1), 2].add(
+            jnp.where(left_alive, f, 0)
+        )
+        # created (new, y'): only when not absorbed by the next match
+        delta = delta.at[jnp.where(dr, w_next2, V - 1), 3].add(jnp.where(dr, f, 0))
+
+        minted = jnp.sum(jnp.where(selected, f, 0))
+
+        # apply: replace match starts, kill partners, compact
+        out = jnp.where(selected, new_id, words)
+        kill = jnp.pad(selected[:, :-1], ((0, 0), (1, 0)))
+        out = jnp.where(kill, -1, out)
+        order = jnp.argsort((out < 0).astype(jnp.int32), axis=1, stable=True)
+        out = jnp.take_along_axis(out, order, axis=1)
+        return out, delta, minted
+
+    return fn
+
+
+class DistributedInlTrainer(InlBpeTrainer):
+    """INL-BPE trainer whose counting + merge application run on a mesh.
+
+    API-compatible with :class:`InlBpeTrainer` (train / train_from_texts /
+    count_batch / finish_training / save); only the training core differs.
+    """
+
+    def __init__(self, config: TrainerConfig | None = None, mesh=None, **kwargs):
+        super().__init__(config, **kwargs)
+        self._mesh = mesh
+
+    def _get_mesh(self):
+        if self._mesh is None:
+            self._mesh = data_mesh()
+        return self._mesh
+
+    # override the training core; ingestion/scoring/save are inherited
+    def _train_from_word_freqs(self, word_freqs: Counter) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard_map = jax.shard_map
+
+        cfg = self.config
+        mesh = self._get_mesh()
+        n_dev = mesh.devices.size
+
+        print("Step 2: Initializing vocabulary (ByteLevel alphabet)...")
+        words_list, freqs_list = self._init_vocab(word_freqs)
+        v0 = len(self.vocab)
+        print(f"  Initial vocab size: {v0}")
+
+        # pack words into a padded [N, W] tensor, N divisible by n_dev
+        W = 1
+        for toks in words_list:
+            W = max(W, len(toks))
+        W = max(W, 2)
+        N = len(words_list)
+        N_pad = ((N + n_dev - 1) // n_dev) * n_dev if N else n_dev
+        words_np = np.full((N_pad, W), -1, dtype=np.int32)
+        freqs_np = np.zeros(N_pad, dtype=np.int32)
+        for i, toks in enumerate(words_list):
+            words_np[i, : len(toks)] = toks
+            freqs_np[i] = freqs_list[i]
+
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+        words_dev = jax.device_put(words_np, shard)
+        freqs_dev = jax.device_put(freqs_np, shard)
+
+        print("Step 3: Computing initial pair frequencies (sharded + psum)...")
+        hist_fn = make_initial_hist(v0)
+
+        def sharded_hist(w, f):
+            return jax.lax.psum(hist_fn(w, f), DATA_AXIS)
+
+        hist = shard_map(
+            sharded_hist,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+        )(words_dev, freqs_dev)
+        hist = np.asarray(hist).reshape(v0, v0)
+        ys, xs = np.nonzero(hist)
+        for a, b in zip(ys, xs):
+            self.pair_freqs[(int(a), int(b))] = int(hist[a, b])
+        print(f"  Found {len(self.pair_freqs)} unique pairs")
+
+        V = max(cfg.vocab_size, v0 + 1)
+        step_fn = make_merge_step(V)
+
+        def sharded_step(w, f, a, b, new_id):
+            out, delta, minted = step_fn(w, f, a, b, new_id)
+            return (
+                out,
+                jax.lax.psum(delta, DATA_AXIS),
+                jax.lax.psum(minted, DATA_AXIS),
+            )
+
+        sharded_step = jax.jit(
+            shard_map(
+                sharded_step,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+                out_specs=(P(DATA_AXIS), P(), P()),
+            )
+        )
+
+        print("Step 4: Learning merges with INL dynamics (device steps)...")
+        target = cfg.vocab_size
+        rebuild_interval = 100
+        while len(self.vocab) < target:
+            heap = [(-s, p) for s, p in self._scores()]
+            heapq.heapify(heap)
+            progressed = False
+            for _ in range(rebuild_interval):
+                if len(self.vocab) >= target:
+                    break
+                pair = None
+                while heap:
+                    _, cand = heapq.heappop(heap)
+                    if self.pair_freqs.get(cand, 0) > 0:
+                        pair = cand
+                        break
+                if pair is None:
+                    break
+                a, b = pair
+                merged = self.vocab_r[a] + self.vocab_r[b]
+                new_id = len(self.vocab)
+                self.vocab[merged] = new_id
+                self.vocab_r[new_id] = merged
+                self.merges.append((self.vocab_r[a], self.vocab_r[b]))
+
+                words_dev, delta, minted = sharded_step(
+                    words_dev,
+                    freqs_dev,
+                    jnp.int32(a),
+                    jnp.int32(b),
+                    jnp.int32(new_id),
+                )
+                self._apply_delta_hist(
+                    np.asarray(delta), int(minted), a, b, new_id
+                )
+                v_a = self.velocity.get(a, 0.0)
+                v_b = self.velocity.get(b, 0.0)
+                self.velocity[new_id] = (v_a + v_b) / 2.0
+                progressed = True
+            if not progressed:
+                break
+            if not any(v > 0 for v in self.pair_freqs.values()):
+                break
+        print(f"  Final vocab size: {len(self.vocab)}")
+        print(f"  Total merges: {len(self.merges)}")
+
+    def _apply_delta_hist(self, delta: np.ndarray, minted: int, a, b, new_id):
+        pf = self.pair_freqs
+        pf.pop((a, b), None)
+        if not isinstance(pf, defaultdict):
+            self.pair_freqs = pf = defaultdict(int, pf)
+        for x in np.nonzero(delta[:, 0])[0]:
+            pf[(int(x), a)] -= int(delta[x, 0])
+        for y in np.nonzero(delta[:, 1])[0]:
+            pf[(b, int(y))] -= int(delta[y, 1])
+        for x in np.nonzero(delta[:, 2])[0]:
+            pf[(int(x), new_id)] += int(delta[x, 2])
+        for y in np.nonzero(delta[:, 3])[0]:
+            pf[(new_id, int(y))] += int(delta[y, 3])
+        for p in [p for p, v in pf.items() if v <= 0]:
+            del pf[p]
+        if a in self.token_freqs:
+            self.token_freqs[a] = max(self.token_freqs[a] - minted, 0)
+        if b in self.token_freqs:
+            self.token_freqs[b] = max(self.token_freqs[b] - minted, 0)
+        self.token_freqs[new_id] = minted

@@ -1,0 +1,82 @@
+"""Device encode pipeline vs the host oracle — exact token-id parity."""
+
+import numpy as np
+import pytest
+
+from helpers import SAMPLE_TEXT, conformance_corpus, trained_tokenizer
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture(scope="module")
+def tok():
+    t = trained_tokenizer()
+    t.use_device = True
+    return t
+
+
+@pytest.fixture(scope="module")
+def pipeline(tok):
+    p = tok._get_pipeline()
+    assert p is not None, "fixture tokenizer should be device-eligible"
+    return p
+
+
+def test_pipeline_eligibility(tok):
+    assert tok._get_pipeline() is not None
+
+
+def test_device_conformance_corpus(tok, pipeline):
+    texts = conformance_corpus()
+    expected = [tok._encode_host(t) for t in texts]
+    got = pipeline.encode_batch(texts)
+    for t, e, g in zip(texts, expected, got):
+        assert g == e, (repr(t), e, g)
+
+
+def test_device_long_text_chunking(tok, pipeline):
+    long_text = (SAMPLE_TEXT.replace("\n", " ") + " ") * 40  # > 4096 bytes
+    assert len(long_text.encode()) > 4096
+    expected = tok._encode_host(long_text)
+    got = pipeline.encode_batch([long_text])[0]
+    assert got == expected
+
+
+def test_device_pathological_word(tok, pipeline):
+    word = "a" * 5000  # single word longer than the widest bucket
+    expected = tok._encode_host(word)
+    got = pipeline.encode_batch([word])[0]
+    assert got == expected
+
+
+def test_device_empty_and_whitespace(tok, pipeline):
+    texts = ["", " ", "\n\n\n", "   \t  "]
+    expected = [tok._encode_host(t) for t in texts]
+    got = pipeline.encode_batch(texts)
+    assert got == expected
+
+
+def test_encode_batch_routes_through_device(tok):
+    texts = conformance_corpus()[:8]
+    host = [tok._encode_host(t) for t in texts]
+    assert tok.encode_batch(texts) == host
+
+
+def test_encode_batch_added_token_fallback(tok):
+    # texts containing added-token substrings route through the host path
+    texts = ["hello <s> world", "plain text"]
+    host = [tok._encode_host(t) for t in texts]
+    assert tok.encode_batch(texts) == host
+
+
+def test_device_random_fuzz(tok, pipeline):
+    rng = np.random.RandomState(0)
+    alphabet = list("abcdefgh '!.123é世 \n\t")
+    texts = []
+    for _ in range(64):
+        n = rng.randint(0, 80)
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    expected = [tok._encode_host(t) for t in texts]
+    got = pipeline.encode_batch(texts)
+    for t, e, g in zip(texts, expected, got):
+        assert g == e, (repr(t), e, g)
