@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark: batch-encode bytes/s on device (BASELINE.json config 2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference README's best published figure — batch encode of
+10K texts in ~20 ms on all CPU cores (README.md:66-72), i.e. ~50 MB/s at
+~100 B/text (BASELINE.md "derived").  vs_baseline = our bytes/s / 50e6.
+"""
+
+import json
+import os
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE = Path(__file__).parent / ".cache"
+TOKENIZER_JSON = CACHE / "bench_tokenizer.json"
+VOCAB_SIZE = 8192
+N_TEXTS = 10_000
+BASELINE_BYTES_PER_S = 50e6
+
+_WORDS = (
+    "the of and to in a is that for it as was with be by on not he this are or "
+    "his from at which but have an had they you were their one all we can her "
+    "has there been if more when will would who so no out up into than them "
+    "time only could new other these two may first then do any like my now over "
+    "such our man me even most made after also did many fff before must well "
+    "back through years where much your way down should because each just those "
+    "people Mr how too little state good very make world still own see men work "
+    "long get here between both life being under never day same another know "
+    "while last might us great old year off come since against go came right "
+    "used take three states himself few house use during without again place "
+    "American around however home small found Mrs thought went say part once "
+    "general high upon school every don't does got united left number course "
+    "war until always away something fact though water less public put think "
+    "almost hand enough far took head yet government system better set told "
+    "nothing night end why called didn't eyes find going look asked later "
+    "knew point next city business give group toward young days let room within "
+    "children side social given order present several national second possible "
+    "rather per face among form important often things looked early white case "
+    "become large need big four felt along children saw best church ever least "
+    "power development light thing seemed family interest want members mind "
+    "country area others although turned done society itself since"
+).split()
+
+
+def _synth_corpus(n_sentences: int, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_sentences):
+        n = rng.randint(4, 40)
+        words = [rng.choice(_WORDS) for _ in range(n)]
+        s = " ".join(words)
+        if rng.random() < 0.3:
+            s = s.capitalize() + "."
+        if rng.random() < 0.1:
+            s += " It's 2026, isn't it? Numbers: 123 456."
+        out.append(s)
+    return out
+
+
+def build_tokenizer():
+    from complexity_tokenizer_tpu.tokenizer import Tokenizer
+
+    if TOKENIZER_JSON.exists():
+        return Tokenizer.from_file(TOKENIZER_JSON)
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    print("[bench] training bench tokenizer (cached after first run)...",
+          file=sys.stderr)
+    trainer = InlBpeTrainer(
+        TrainerConfig(
+            vocab_size=VOCAB_SIZE,
+            min_frequency=1,
+            inl_alpha=0.0,
+            inl_beta=0.0,
+            inl_gate=0.0,
+        )
+    )
+    trainer.train_from_texts(_synth_corpus(4000))
+    CACHE.mkdir(exist_ok=True)
+    trainer.save(TOKENIZER_JSON)
+    return Tokenizer.from_file(TOKENIZER_JSON)
+
+
+def bench_texts() -> list[str]:
+    rng = random.Random(42)
+    sentences = _synth_corpus(2000, seed=13)
+    texts = []
+    for _ in range(N_TEXTS):
+        # mixed lengths ~20..500 bytes
+        target = rng.randint(20, 500)
+        s = rng.choice(sentences)
+        while len(s) < target:
+            s += " " + rng.choice(sentences)
+        texts.append(s[:target])
+    return texts
+
+
+def main():
+    tok = build_tokenizer()
+    pipeline = tok._get_pipeline()
+    if pipeline is None:
+        print(json.dumps({"metric": "batch_encode_bytes_per_s", "value": 0.0,
+                          "unit": "bytes/s", "vs_baseline": 0.0,
+                          "error": "device pipeline unavailable"}))
+        return
+
+    texts = bench_texts()
+    total_bytes = sum(len(t.encode("utf-8")) for t in texts)
+
+    # parity spot-check against the host oracle
+    sample = texts[::997]
+    dev_ids = pipeline.encode_batch(sample)
+    host_ids = [tok._encode_host(t) for t in sample]
+    exact = sum(1 for d, h in zip(dev_ids, host_ids) if d == h)
+    match_rate = exact / max(len(sample), 1)
+
+    # warmup (compiles all shape buckets)
+    for _ in range(2):
+        pipeline.encode_batch(texts)
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pipeline.encode_batch(texts)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    bytes_per_s = total_bytes / best
+
+    print(
+        json.dumps(
+            {
+                "metric": "batch_encode_bytes_per_s",
+                "value": round(bytes_per_s, 1),
+                "unit": "bytes/s",
+                "vs_baseline": round(bytes_per_s / BASELINE_BYTES_PER_S, 3),
+                "detail": {
+                    "n_texts": N_TEXTS,
+                    "total_bytes": total_bytes,
+                    "best_s": round(best, 4),
+                    "all_s": [round(t, 4) for t in times],
+                    "exact_match_rate": match_rate,
+                    "backend": __import__("jax").default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

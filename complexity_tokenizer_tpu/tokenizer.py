@@ -89,6 +89,8 @@ class Tokenizer:
         self.truncation_config = TruncationConfig(max_length=512)
         self._pipeline = None  # lazily-built device pipeline
         self._pipeline_dirty = True
+        self._decode_pipeline = None
+        self._decode_pipeline_dirty = True
         self.use_device: bool = os.environ.get("CTOK_DISABLE_DEVICE", "") != "1"
 
     # ------------------------------------------------------------------
@@ -215,6 +217,29 @@ class Tokenizer:
 
     def _invalidate_pipeline(self):
         self._pipeline_dirty = True
+        self._decode_pipeline_dirty = True
+
+    def _get_decode_pipeline(self):
+        """Device decode pipeline for ByteLevel decoders; None otherwise."""
+        if not self.use_device:
+            return None
+        if not getattr(self, "_decode_pipeline_dirty", True):
+            return self._decode_pipeline
+        self._decode_pipeline_dirty = False
+        self._decode_pipeline = None
+        from .core.decoders import ByteLevel as ByteLevelDecoder
+
+        if not isinstance(self.decoder, ByteLevelDecoder):
+            return None
+        try:
+            from .ops.decode import DecodePipeline
+
+            self._decode_pipeline = DecodePipeline(
+                self.bpe.vocab_r, set(self.special_tokens.values())
+            )
+        except Exception:
+            self._decode_pipeline = None
+        return self._decode_pipeline
 
     # ------------------------------------------------------------------
     # Basic encode/decode (host oracle path; mod.rs:551-613)
@@ -365,11 +390,18 @@ class Tokenizer:
         return _split_whitespace_join(text)
 
     def decode_batch(self, batch) -> list[str]:
-        return [self.decode(ids) for ids in batch]
+        return self.decode_batch_with_options(batch, False, True)
 
     def decode_batch_with_options(
         self, batch, skip_special_tokens: bool = False, clean_up_tokenization_spaces: bool = True
     ) -> list[str]:
+        batch = list(batch)
+        pipeline = self._get_decode_pipeline() if len(batch) >= 8 else None
+        if pipeline is not None:
+            texts = pipeline.decode_batch(batch, skip_special_tokens)
+            if clean_up_tokenization_spaces:
+                texts = [self.clean_up_tokenization_spaces(t) for t in texts]
+            return texts
         return [
             self._decode_impl(ids, skip_special_tokens, clean_up_tokenization_spaces)
             for ids in batch

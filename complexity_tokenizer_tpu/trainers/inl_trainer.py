@@ -307,6 +307,52 @@ class InlBpeTrainer:
     def num_merges(self) -> int:
         return len(self.merges)
 
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (SURVEY §5.3-5.4: the reference has none; for
+    # preemptible pod slices we persist the full trainer state so a run
+    # can resume mid-accumulation)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path) -> None:
+        """Persist (vocab, merges, pair histogram, velocity, accumulator)."""
+        state = {
+            "config": {
+                k: v
+                for k, v in self.config.__dict__.items()
+                if k not in ("normalizer", "pre_tokenizer")
+            },
+            "vocab": self.vocab,
+            "merges": self.merges,
+            "token_freqs": list(self.token_freqs.items()),
+            "velocity": list(self.velocity.items()),
+            "pair_freqs": [[a, b, f] for (a, b), f in self.pair_freqs.items()],
+            "word_freqs_accumulator": list(self._word_freqs_accumulator.items()),
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(state, f, ensure_ascii=False)
+
+    @classmethod
+    def load_checkpoint(cls, path, config: TrainerConfig | None = None):
+        with open(path, "r", encoding="utf-8") as f:
+            state = json.load(f)
+        if config is None:
+            config = TrainerConfig(**state["config"])
+        self = cls(config)
+        self.vocab = dict(state["vocab"])
+        self.vocab_r = {v: k for k, v in self.vocab.items()}
+        self.merges = [tuple(m) for m in state["merges"]]
+        self.token_freqs = defaultdict(
+            int, {int(k): v for k, v in state["token_freqs"]}
+        )
+        self.velocity = {int(k): v for k, v in state["velocity"]}
+        self.pair_freqs = defaultdict(
+            int, {(a, b): f for a, b, f in state["pair_freqs"]}
+        )
+        self._word_freqs_accumulator = Counter(
+            dict(state["word_freqs_accumulator"])
+        )
+        return self
+
     def save(self, path) -> None:
         """tokenizer.json with ByteLevel pretok/decoder (trainer.rs:598-651)."""
         merges_str = [f"{a} {b}" for a, b in self.merges]

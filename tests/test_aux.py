@@ -1,0 +1,126 @@
+"""Aux subsystems: hub path resolution (hub.rs:179-206 ports), chat
+templates, BatchEncoding dict API, trainer checkpoint/resume, metrics."""
+
+import json
+
+from complexity_tokenizer_tpu.batch_encoding import BatchEncoding
+from complexity_tokenizer_tpu.core.encoding import Encoding
+from complexity_tokenizer_tpu.hf import chat, hub
+from complexity_tokenizer_tpu.utils.metrics import Counters, Timer
+
+from helpers import trained_tokenizer
+
+
+def test_hub_config_default():
+    cfg = hub.HubConfig()
+    assert "huggingface.co" in cfg.endpoint
+    assert cfg.timeout == 60
+
+
+def test_hub_cache_path():
+    cfg = hub.HubConfig()
+    assert "gpt2" in str(hub.get_cache_path("gpt2", cfg))
+    assert "a--b" in str(hub.get_cache_path("a/b", cfg))
+
+
+def test_hub_resolve_local_path(tmp_path):
+    f = tmp_path / "test_tokenizer.json"
+    f.write_text("{}")
+    assert hub.resolve_model_path(str(f)) == f
+    # directory containing tokenizer.json resolves to that file
+    d = tmp_path / "model"
+    d.mkdir()
+    (d / "tokenizer.json").write_text("{}")
+    assert hub.resolve_model_path(str(d)) == d / "tokenizer.json"
+
+
+def test_hub_is_cached(tmp_path):
+    cfg = hub.HubConfig(cache_dir=tmp_path)
+    assert not hub.is_cached("org/model", "tokenizer.json", cfg)
+    repo = tmp_path / "org--model"
+    repo.mkdir()
+    (repo / "tokenizer.json").write_text("{}")
+    assert hub.is_cached("org/model", "tokenizer.json", cfg)
+    hub.clear_cache("org/model", cfg)
+    assert not hub.is_cached("org/model", "tokenizer.json", cfg)
+
+
+def test_chat_formats():
+    msgs = [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "yo"},
+    ]
+    chatml = chat.apply_chat_template("x<|im_start|>y", msgs, True, "<s>", "</s>")
+    assert "<|im_start|>user\nhi<|im_end|>" in chatml
+    assert chatml.endswith("<|im_start|>assistant\n")
+    llama = chat.apply_chat_template("[INST]", msgs, False, "<s>", "</s>")
+    assert "[INST] hi [/INST]" in llama and "<<SYS>>" in llama
+    alpaca = chat.apply_chat_template("### ", msgs, False, "<s>", "</s>")
+    assert "### Human:\nhi" in alpaca
+    plain = chat.apply_chat_template("other", msgs, True, "<s>", "</s>")
+    assert "user: hi" in plain and plain.endswith("assistant: ")
+
+
+def test_batch_encoding_dict_api():
+    encs = [
+        Encoding.from_ids([1, 2], ["a", "b"]),
+        Encoding.from_ids([3], ["c"]),
+    ]
+    be = BatchEncoding(encs, True, True, False, True)
+    assert be.keys() == [
+        "input_ids",
+        "attention_mask",
+        "token_type_ids",
+        "special_tokens_mask",
+    ]
+    d = be.to_dict()
+    assert d["input_ids"] == [[1, 2], [3]]
+    assert be["input_ids"] == [[1, 2], [3]]
+    assert len(be) == 2
+    assert be[0].ids == [1, 2]
+    arrs = be.input_ids_as_numpy()
+    assert arrs[0].dtype.name == "uint32"
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path):
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    t = InlBpeTrainer(TrainerConfig(vocab_size=300, min_frequency=1))
+    t.count_batch(["hello world hello", "world of words"])
+    ckpt = tmp_path / "ckpt.json"
+    t.save_checkpoint(ckpt)
+    t2 = InlBpeTrainer.load_checkpoint(ckpt)
+    assert t2._word_freqs_accumulator == t._word_freqs_accumulator
+    t.finish_training()
+    t2.finish_training()
+    assert t.vocab == t2.vocab
+    assert t.merges == t2.merges
+    # post-training state also checkpoints
+    t.save_checkpoint(ckpt)
+    t3 = InlBpeTrainer.load_checkpoint(ckpt)
+    assert t3.vocab == t.vocab and t3.merges == t.merges
+
+
+def test_metrics_counters():
+    c = Counters()
+    with Timer("encode", count=100, registry=c):
+        pass
+    snap = c.snapshot()
+    assert snap["encode"] == 100
+    assert "encode_seconds" in snap and "encode_per_s" in snap
+
+
+def test_tokenizer_from_pretrained_local_cache(tmp_path, monkeypatch):
+    from complexity_tokenizer_tpu.tokenizer import Tokenizer
+
+    tok = trained_tokenizer()
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    repo = tmp_path / "huggingface" / "hub" / "me--model"
+    repo.mkdir(parents=True)
+    tok.save(repo / "tokenizer.json")
+    loaded = Tokenizer.from_pretrained("me/model", local_files_only=True)
+    assert loaded.vocab_size == tok.vocab_size

@@ -1,0 +1,138 @@
+"""Multi-device tests on the forced 8-device CPU mesh: sharded encode,
+distributed trainer parity vs the host trainer, psum histogram
+correctness."""
+
+import numpy as np
+import pytest
+
+from helpers import SAMPLE_TEXT, conformance_corpus, trained_tokenizer
+
+jax = pytest.importorskip("jax")
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_encode_matches_host():
+    from complexity_tokenizer_tpu.parallel import data_mesh, shard_encode_pipeline
+
+    tok = trained_tokenizer()
+    pipeline = tok._get_pipeline()
+    assert pipeline is not None
+    shard_encode_pipeline(pipeline, data_mesh())
+    texts = conformance_corpus()
+    expected = [tok._encode_host(t) for t in texts]
+    got = pipeline.encode_batch(texts)
+    for t, e, g in zip(texts, expected, got):
+        assert g == e, repr(t)
+
+
+def test_distributed_trainer_matches_host_trainer():
+    from complexity_tokenizer_tpu.parallel.trainer import DistributedInlTrainer
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    texts = [SAMPLE_TEXT, "hello world hello", "the quick brown fox"] * 2
+    cfg = dict(vocab_size=400, min_frequency=1)
+    host = InlBpeTrainer(TrainerConfig(**cfg))
+    host.train_from_texts(list(texts))
+    dist = DistributedInlTrainer(TrainerConfig(**cfg))
+    dist.train_from_texts(list(texts))
+    assert dist.vocab == host.vocab
+    assert dist.merges == host.merges
+    assert dist.token_freqs == {
+        k: v for k, v in host.token_freqs.items()
+    }
+
+
+def test_distributed_trainer_with_inl_dynamics():
+    from complexity_tokenizer_tpu.parallel.trainer import DistributedInlTrainer
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    texts = ["aaa bbb aaa bbb ccc ddd " * 3, SAMPLE_TEXT]
+    cfg = dict(
+        vocab_size=350, min_frequency=1, inl_alpha=0.9, inl_beta=0.3, inl_gate=0.5
+    )
+    host = InlBpeTrainer(TrainerConfig(**cfg))
+    host.train_from_texts(list(texts))
+    dist = DistributedInlTrainer(TrainerConfig(**cfg))
+    dist.train_from_texts(list(texts))
+    assert dist.merges == host.merges
+
+
+def test_initial_hist_psum():
+    from complexity_tokenizer_tpu.parallel.mesh import DATA_AXIS, data_mesh
+    from complexity_tokenizer_tpu.parallel.trainer import make_initial_hist
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = data_mesh()
+    v0 = 5
+    words = np.array(
+        [[0, 1, 2, -1], [1, 1, 1, 1], [2, 3, -1, -1], [4, 0, 4, 0]] * 2,
+        dtype=np.int32,
+    )
+    freqs = np.array([1, 2, 3, 1] * 2, dtype=np.int32)
+    hist_fn = make_initial_hist(v0)
+
+    def f(w, fr):
+        return jax.lax.psum(hist_fn(w, fr), DATA_AXIS)
+
+    out = jax.shard_map(
+        f, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)), out_specs=P()
+    )(
+        jax.device_put(words, NamedSharding(mesh, P(DATA_AXIS))),
+        jax.device_put(freqs, NamedSharding(mesh, P(DATA_AXIS))),
+    )
+    out = np.asarray(out).reshape(v0, v0)
+    expected = np.zeros((v0, v0), np.int64)
+    for row, fr in zip(words, freqs):
+        toks = [t for t in row if t >= 0]
+        for i in range(len(toks) - 1):
+            expected[toks[i], toks[i + 1]] += fr
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_merge_step_deltas_adjacent_occurrences():
+    """The 'x a b a b y' case: net deltas must match the reference walk."""
+    from complexity_tokenizer_tpu.parallel.trainer import make_merge_step
+
+    V = 10
+    step = make_merge_step(V)
+    x, a, b, y, N = 5, 1, 2, 6, 7
+    words = np.array([[x, a, b, a, b, y]], dtype=np.int32)
+    freqs = np.array([3], dtype=np.int32)
+    out, delta, minted = jax.jit(step, static_argnums=())(
+        words, freqs, np.int32(a), np.int32(b), np.int32(N)
+    )
+    out = np.asarray(out)
+    delta = np.asarray(delta)
+    assert minted == 6  # two occurrences x freq 3
+    assert out[0, :4].tolist() == [x, N, N, y]
+    # destroyed (x,a): x edge and (b,a) between matches
+    assert delta[x, 0] == 3 and delta[b, 0] == 3
+    # destroyed (b,y): right edge of last match only
+    assert delta[y, 1] == 3
+    # created (x,N) and (N,N)
+    assert delta[x, 2] == 3 and delta[N, 2] == 3
+    # created (N,y)
+    assert delta[y, 3] == 3
+
+
+def test_merge_step_overlapping_same_token():
+    """'aaa' with pair (a,a): leftmost-priority non-overlap."""
+    from complexity_tokenizer_tpu.parallel.trainer import make_merge_step
+
+    step = make_merge_step(8)
+    a, N = 1, 4
+    words = np.array([[a, a, a, -1]], dtype=np.int32)
+    freqs = np.array([2], dtype=np.int32)
+    out, delta, minted = step(words, freqs, np.int32(a), np.int32(a), np.int32(N))
+    out = np.asarray(out)
+    assert minted == 2
+    assert out[0, :2].tolist() == [N, a]
