@@ -1,0 +1,173 @@
+"""ctypes bindings for the native host runtime (ctok_host.cpp).
+
+Compiled on first use with the system C++ toolchain; everything degrades
+gracefully to the pure-Python oracle when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+__all__ = ["load_library", "NativeEncoder", "native_pack", "available"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "ctok_host.cpp")
+_LIB_PATH = os.path.join(_HERE, f"_libctok_py{sys.version_info[0]}{sys.version_info[1]}.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    for cxx in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
+
+
+def load_library():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.ctok_new.restype = ctypes.c_void_p
+        lib.ctok_new.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.ctok_free.argtypes = [ctypes.c_void_p]
+        lib.ctok_encode.restype = ctypes.c_int64
+        lib.ctok_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.ctok_pack.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeEncoder:
+    """Native byte-level BPE encoder (presplit + seed + merge loop).
+
+    Semantically identical to the host oracle path for ByteLevel configs;
+    used for low-latency single-text encodes where device dispatch is not
+    worth it.
+    """
+
+    def __init__(self, merge_ranks, merge_ops, byte_token_table: np.ndarray):
+        from ..utils.unicode_tables import gpt2_class_table
+
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        n = len(merge_ranks)
+        pa = np.empty(n, np.int32)
+        pb = np.empty(n, np.int32)
+        pr = np.empty(n, np.int32)
+        for i, ((a, b), r) in enumerate(merge_ranks.items()):
+            pa[i], pb[i], pr[i] = a, b, r
+        max_rank = max(merge_ops) if merge_ops else 0
+        rank_new = np.full(max_rank + 1, -1, np.int32)
+        for r, (_pair, new_id) in merge_ops.items():
+            rank_new[r] = new_id
+        # keep referenced arrays alive for the ctx lifetime
+        self._keep = (
+            pa,
+            pb,
+            pr,
+            rank_new,
+            np.ascontiguousarray(byte_token_table, np.int32),
+            np.ascontiguousarray(gpt2_class_table()),
+        )
+        cls = self._keep[5]
+        self._ctx = lib.ctok_new(
+            n,
+            _ptr(pa),
+            _ptr(pb),
+            _ptr(pr),
+            _ptr(rank_new),
+            len(rank_new),
+            _ptr(self._keep[4]),
+            _ptr(cls),
+            len(cls),
+        )
+
+    def __del__(self):
+        try:
+            if getattr(self, "_ctx", None):
+                self._lib.ctok_free(self._ctx)
+        except Exception:
+            pass
+
+    def encode(self, data: bytes) -> list[int]:
+        n = len(data)
+        if n == 0:
+            return []
+        buf = np.frombuffer(data, np.uint8)
+        out = np.empty(n, np.int32)
+        m = self._lib.ctok_encode(self._ctx, _ptr(buf), n, _ptr(out))
+        return out[:m].tolist()
+
+
+def native_pack(data: list[bytes], L: int, B: int):
+    """C-accelerated version of ops.pipeline.pack_texts."""
+    lib = load_library()
+    if lib is None:
+        return None
+    joined = b"".join(data)
+    offsets = np.zeros(len(data) + 1, np.int64)
+    np.cumsum([len(d) for d in data], out=offsets[1:])
+    arr = np.empty((B, L), np.uint8)
+    lens = np.zeros(B, np.int32)
+    jb = np.frombuffer(joined, np.uint8) if joined else np.zeros(1, np.uint8)
+    lib.ctok_pack(_ptr(jb), _ptr(offsets), len(data), L, _ptr(arr), _ptr(lens))
+    if len(data) < B:
+        arr[len(data) :] = 0
+    return arr, lens

@@ -35,7 +35,17 @@ def _bucket(n: int, buckets) -> int | None:
 
 
 def pack_texts(data: list[bytes], L: int, B: int):
-    """Pack UTF-8 byte strings into a zero-padded [B, L] uint8 matrix."""
+    """Pack UTF-8 byte strings into a zero-padded [B, L] uint8 matrix.
+
+    Uses the native C packer when available (one memcpy per row)."""
+    try:
+        from ..native import native_pack
+
+        packed = native_pack(data, L, B)
+        if packed is not None:
+            return packed
+    except Exception:
+        pass
     arr = np.zeros((B, L), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
     joined = b"".join(data)
@@ -110,8 +120,8 @@ class EncodePipeline:
 
     # ------------------------------------------------------------------
 
-    def _prepare(self, texts: list[str]) -> list[bytes]:
-        norm = self.normalizer
+    def _prepare(self, texts: list[str], already_normalized: bool = False) -> list[bytes]:
+        norm = self.normalizer if not already_normalized else None
         aps = self.add_prefix_space
         out = []
         for t in texts:
@@ -122,8 +132,10 @@ class EncodePipeline:
             out.append(t.encode("utf-8"))
         return out
 
-    def encode_batch(self, texts: list[str]) -> list[list[int]]:
-        data = self._prepare(texts)
+    def encode_batch(
+        self, texts: list[str], already_normalized: bool = False
+    ) -> list[list[int]]:
+        data = self._prepare(texts, already_normalized)
         n = len(data)
         results: list[list[int] | None] = [None] * n
 

@@ -91,6 +91,9 @@ class Tokenizer:
         self._pipeline_dirty = True
         self._decode_pipeline = None
         self._decode_pipeline_dirty = True
+        self._native = None
+        self._native_dirty = True
+        self._added_checkers_cache = None
         self.use_device: bool = os.environ.get("CTOK_DISABLE_DEVICE", "") != "1"
 
     # ------------------------------------------------------------------
@@ -218,6 +221,8 @@ class Tokenizer:
     def _invalidate_pipeline(self):
         self._pipeline_dirty = True
         self._decode_pipeline_dirty = True
+        self._native_dirty = True
+        self._added_checkers_cache = None
 
     def _get_decode_pipeline(self):
         """Device decode pipeline for ByteLevel decoders; None otherwise."""
@@ -245,8 +250,11 @@ class Tokenizer:
     # Basic encode/decode (host oracle path; mod.rs:551-613)
     # ------------------------------------------------------------------
 
-    def _encode_host(self, text: str) -> list[int]:
-        normalized = self.normalizer.normalize(text) if self.normalizer else text
+    def _encode_host(self, text: str, already_normalized: bool = False) -> list[int]:
+        if already_normalized:
+            normalized = text
+        else:
+            normalized = self.normalizer.normalize(text) if self.normalizer else text
         words = (
             self.pre_tokenizer.pre_tokenize(normalized)
             if self.pre_tokenizer
@@ -314,30 +322,99 @@ class Tokenizer:
         return min_pos
 
     def encode(self, text: str) -> list[int]:
-        return self._encode_host(text)
+        normalized = self.normalizer.normalize(text) if self.normalizer else text
+        native = self._get_native_encoder()
+        if native is not None and self._text_fastpath_eligible(normalized):
+            from .core.pretokenizers import ByteLevel as _BL
 
-    def _texts_device_eligible(self, texts) -> list[bool]:
-        """Per-text: False if any added token substring appears (those route
-        through the host path so added-token matching stays exact)."""
+            pt = self.pre_tokenizer
+            if (
+                isinstance(pt, _BL)
+                and pt.add_prefix_space
+                and normalized
+                and not normalized.startswith(" ")
+            ):
+                normalized = " " + normalized
+            return native.encode(normalized.encode("utf-8"))
+        return self._encode_host(normalized, already_normalized=True)
+
+    def _get_native_encoder(self):
+        """Native (C++) single-text encoder for ByteLevel BPE configs."""
+        if not getattr(self, "_native_dirty", True):
+            return self._native
+        self._native_dirty = False
+        self._native = None
+        from .core.pretokenizers import ByteLevel as _BL
+
+        if not isinstance(self.pre_tokenizer, _BL) or not self.bpe.vocab:
+            return None
+        try:
+            import numpy as np
+
+            from .native import NativeEncoder
+            from .utils.bytelevel import bytes_to_unicode
+
+            enc = bytes_to_unicode()
+            byte_token = np.full(256, -1, dtype=np.int32)
+            for b in range(256):
+                tid = self.bpe.vocab.get(enc[b])
+                if tid is not None:
+                    byte_token[b] = tid
+            self._native = NativeEncoder(
+                self.bpe.merge_ranks, self.bpe.merge_ops, byte_token
+            )
+        except Exception:
+            self._native = None
+        return self._native
+
+    def _added_token_checkers(self):
+        """(raw_tokens, encoded_check_tokens): raw substring checks plus,
+        for tokens containing non-self-mapping alphabet chars, checks
+        against the byte-level-encoded text."""
+        cached = getattr(self, "_added_checkers_cache", None)
+        if cached is not None and cached[0] == len(self.added_tokens):
+            return cached[1], cached[2]
+        raw = list(self.added_tokens.keys())
+        # encoded-text check needed only for tokens with non-ASCII chars:
+        # the byte-level encoded text consists of alphabet chars, and the
+        # ASCII-printable subset of the alphabet maps to itself
+        need_encoded = [t for t in raw if any(ord(c) >= 128 for c in t)]
+        self._added_checkers_cache = (len(self.added_tokens), raw, need_encoded)
+        return raw, need_encoded
+
+    def _text_fastpath_eligible(self, normalized_text: str) -> bool:
+        """True if no added token can match anywhere in this text."""
         if not self.added_tokens:
-            return [True] * len(texts)
-        toks = list(self.added_tokens.keys())
-        return [not any(t in x for t in toks) for x in texts]
+            return True
+        raw, need_encoded = self._added_token_checkers()
+        if any(t in normalized_text for t in raw):
+            return False
+        if need_encoded:
+            from .utils.bytelevel import encode_bytes
+
+            enc_text = encode_bytes(normalized_text.encode("utf-8"))
+            if any(t in enc_text for t in need_encoded):
+                return False
+        return True
 
     def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        norm = self.normalizer
+        normalized = [norm.normalize(t) for t in texts] if norm else list(texts)
         pipeline = self._get_pipeline()
         if pipeline is None:
-            return [self._encode_host(t) for t in texts]
-        eligible = self._texts_device_eligible(texts)
+            return [self._encode_host(t, already_normalized=True) for t in normalized]
+        eligible = [self._text_fastpath_eligible(t) for t in normalized]
         dev_idx = [i for i, ok in enumerate(eligible) if ok]
         out: list[list[int] | None] = [None] * len(texts)
         if dev_idx:
-            dev_results = pipeline.encode_batch([texts[i] for i in dev_idx])
+            dev_results = pipeline.encode_batch(
+                [normalized[i] for i in dev_idx], already_normalized=True
+            )
             for i, ids in zip(dev_idx, dev_results):
                 out[i] = ids
         for i, ok in enumerate(eligible):
             if not ok:
-                out[i] = self._encode_host(texts[i])
+                out[i] = self._encode_host(normalized[i], already_normalized=True)
         return out  # type: ignore[return-value]
 
     def decode(self, ids) -> str:

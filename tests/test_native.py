@@ -1,0 +1,66 @@
+"""Native C++ host runtime vs the Python oracle — exact parity."""
+
+import numpy as np
+import pytest
+
+from helpers import SAMPLE_TEXT, conformance_corpus, trained_tokenizer
+
+native = pytest.importorskip("complexity_tokenizer_tpu.native")
+
+if not native.available():
+    pytest.skip("no C++ toolchain available", allow_module_level=True)
+
+
+def _native_encoder(tok):
+    from complexity_tokenizer_tpu.utils.bytelevel import bytes_to_unicode
+
+    enc = bytes_to_unicode()
+    byte_token = np.full(256, -1, dtype=np.int32)
+    for b in range(256):
+        tid = tok.bpe.vocab.get(enc[b])
+        if tid is not None:
+            byte_token[b] = tid
+    return native.NativeEncoder(tok.bpe.merge_ranks, tok.bpe.merge_ops, byte_token)
+
+
+def test_native_encode_matches_oracle():
+    tok = trained_tokenizer()
+    tok.use_device = False
+    ne = _native_encoder(tok)
+    for text in conformance_corpus() + [SAMPLE_TEXT]:
+        normalized = tok.normalizer.normalize(text)
+        expected = tok._encode_host(normalized, already_normalized=True)
+        got = ne.encode(normalized.encode("utf-8"))
+        assert got == expected, repr(text)
+
+
+def test_native_encode_fuzz():
+    tok = trained_tokenizer()
+    ne = _native_encoder(tok)
+    rng = np.random.RandomState(3)
+    alphabet = list("abcdef '!.12é日 \n\t ")
+    for _ in range(200):
+        n = rng.randint(0, 60)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        normalized = tok.normalizer.normalize(text)
+        expected = tok._encode_host(normalized, already_normalized=True)
+        assert ne.encode(normalized.encode("utf-8")) == expected, repr(text)
+
+
+def test_tokenizer_encode_uses_native():
+    tok = trained_tokenizer()
+    assert tok._get_native_encoder() is not None
+    for text in conformance_corpus()[:10]:
+        assert tok.encode(text) == tok._encode_host(text)
+
+
+def test_native_pack_matches_python():
+    from complexity_tokenizer_tpu.native import native_pack
+
+    data = [b"hello", b"", b"a" * 10, "日本".encode()]
+    arr, lens = native_pack(data, 16, 8)
+    assert arr.shape == (8, 16)
+    assert lens.tolist()[:4] == [5, 0, 10, 6]
+    assert bytes(arr[0, :5]) == b"hello"
+    assert arr[1].sum() == 0
+    assert arr[4:].sum() == 0
