@@ -1,25 +1,29 @@
-"""The BPE merge kernel: segmented-min rank selection + batch apply.
+"""The BPE merge kernel: segmented-min rank selection over tombstone chains.
 
 The reference's hot loop (bpe.rs:104-153) scans all adjacent pairs, merges
 the leftmost occurrence of the lowest-rank pair, and repeats — O(n^2) hash
 probes per word, one merge per iteration.
 
-The TPU design instead runs, per iteration over the whole ``[B, L]`` batch:
+TPU design (v2, tombstone layout — no per-iteration compaction):
 
-1. pair-rank lookup for every adjacent live pair (hash gathers);
-2. segmented min over each *word* (two segmented scans) — every word finds
-   its own best rank simultaneously;
-3. batch-apply every non-overlapping occurrence of each word's best pair
-   (leftmost-priority via run-parity selection);
-4. compact dead slots out (stable argsort on the lane axis).
+- tokens stay at their original byte positions forever; merged-away slots
+  become tombstones (-1).  ``word_id`` from the pre-split is static, so the
+  per-word segment structure (and its scan masks) is computed ONCE;
+- each iteration: a reverse-cummin scan finds every slot's next-alive
+  neighbor, pair ranks come from hash-table gathers, two segmented scans
+  give each word's best rank at every position, and a match is applied iff
+  its chain-predecessor is not also a match (run-leading selection);
+- merged slots take the minted id, their partners become tombstones via a
+  prev-alive gather — all elementwise ops and scans, nothing sorted;
+- the final ragged extraction (drop tombstones) happens on the host.
 
-Equivalence to the reference's one-at-a-time loop holds for *well-formed*
-merge tables (any pair containing merge r's product ranks after r):
-new pairs created by applying rank r can never beat r, so the applied-rank
-sequence and leftmost ordering are identical.  ``core.bpe.merges_well_formed``
-gates this at table-build time; ill-formed tables fall back to the host
-path.  Iteration count is max merges-per-word (~word length), not text
-length, because every word progresses every step.
+Run-leading selection vs the reference's leftmost-first: within one word
+and one iteration only non-overlapping occurrences of the word's single
+best pair are applied, leading occurrence first; an overlapping chain like
+"aaa" resolves across iterations in the same left-to-right order, so ids
+match the reference exactly (for well-formed tables, see
+core.bpe.merges_well_formed — new pairs always rank after the applied
+rank, so the applied-rank sequence is identical).
 """
 
 from __future__ import annotations
@@ -28,7 +32,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .hashtable import INF_RANK, lookup_ranks_jnp
 
@@ -45,53 +48,32 @@ def _shift_right(x, fill):
     return jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
-def _segmented_min(rank, seg_start):
-    """Min over each segment, at every position of the segment.
+def _seg_comb(x, y):
+    vx, fx = x
+    vy, fy = y
+    return jnp.where(fy, vy, jnp.minimum(vx, vy)), fx | fy
 
-    ``seg_start`` marks segment beginnings along the lane axis.  Uses two
-    associative scans (forward prefix-min with reset, backward suffix-min
-    with reset); their elementwise min is the full-segment min.
-    """
 
-    def comb(x, y):
-        vx, fx = x
-        vy, fy = y
-        return jnp.where(fy, vy, jnp.minimum(vx, vy)), fx | fy
-
+def _segmented_min(rank, seg_start, seg_end):
+    """Per-position min over each (static) segment via two scans."""
     axis = rank.ndim - 1
-    fwd, _ = jax.lax.associative_scan(comb, (rank, seg_start), axis=axis)
-    # backward: segment "starts" are the positions where the *next* element
-    # begins a new segment (i.e. segment ends)
-    seg_end = _shift_left(seg_start, True)
+    fwd, _ = jax.lax.associative_scan(_seg_comb, (rank, seg_start), axis=axis)
     bwd, _ = jax.lax.associative_scan(
-        comb, (rank, seg_end), axis=axis, reverse=True
+        _seg_comb, (rank, seg_end), axis=axis, reverse=True
     )
     return jnp.minimum(fwd, bwd)
 
 
-def _compact(tokens, wid):
-    """Stable-move dead slots (token < 0) to the end of each row."""
-    dead = (tokens < 0).astype(jnp.int32)
-    order = jnp.argsort(dead, axis=-1, stable=True)
-    return (
-        jnp.take_along_axis(tokens, order, axis=-1),
-        jnp.take_along_axis(wid, order, axis=-1),
-    )
-
-
 def seed_tokens(byte_arr, word_id, valid, byte_token_table):
-    """bytes -> initial token ids (+ aligned word ids), OOV bytes dropped.
+    """bytes -> initial token ids at their byte positions.
 
-    ``byte_token_table`` is the 256-entry byte -> vocab-id map (-1 = the
-    byte's alphabet char is not in the vocab; dropped silently, matching
-    bpe.rs:94-97).  Dead slots are compacted to row ends.
+    OOV bytes (alphabet char not in vocab) become tombstones immediately,
+    matching the reference's silent char drop (bpe.rs:94-97) — the merge
+    chain simply skips them.
     """
     tokens = byte_token_table[byte_arr.astype(jnp.int32)]
     tokens = jnp.where(valid, tokens, -1)
-    wid = jnp.where(tokens >= 0, word_id, -1)
-    tokens, wid = _compact(tokens, wid)
-    wid = jnp.where(tokens >= 0, wid, -1)
-    return tokens, wid
+    return tokens, word_id
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "max_probes"))
@@ -105,58 +87,70 @@ def merge_words(
     table_size: int,
     max_probes: int,
 ):
-    """Run the merge loop to fixpoint.
+    """Run the merge loop to fixpoint on the tombstone layout.
 
     Args:
-      tokens: [B, L] int32, -1 for dead/pad, compacted.
-      wid: [B, L] int32 word ids (-1 on dead slots).
-      key_a/key_b/rank_arr: pair hash table arrays.
-      merge_new: [R] int32 rank -> minted token id.
+      tokens: [B, L] int32, -1 = tombstone/pad, positions never move.
+      wid: [B, L] int32 static word ids (-1 past end).
     Returns:
-      (tokens, count): compacted ids (-1 padded) and per-row live counts.
+      (tokens, count): scattered ids (-1 tombstones, original order) and
+      per-row live counts.
     """
-    L = tokens.shape[-1]
-    idx = jnp.arange(L, dtype=jnp.int32)
+    B, L = tokens.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    axis = 1
 
-    def pair_ranks(t, w):
-        t_next = _shift_left(t, -1)
-        w_next = _shift_left(w, -1)
-        pair_valid = (t >= 0) & (t_next >= 0) & (w == w_next) & (w >= 0)
+    # static per-word segment masks
+    wid_prev = _shift_right(wid, jnp.int32(-2))
+    seg_start = wid != wid_prev
+    seg_end = _shift_left(seg_start, True)
+
+    def chain_neighbors(alive):
+        """(next_alive_idx, prev_alive_idx) along each row; L / -1 absent."""
+        ai = jnp.where(alive, idx, L)
+        nxt_incl = jax.lax.cummin(ai, axis=axis, reverse=True)
+        nxt = _shift_left(nxt_incl, jnp.int32(L))
+        pi = jnp.where(alive, idx, -1)
+        prv_incl = jax.lax.cummax(pi, axis=axis)
+        prv = _shift_right(prv_incl, jnp.int32(-1))
+        return nxt, prv
+
+    def pair_info(t, alive):
+        nxt, prv = chain_neighbors(alive)
+        has_next = nxt < L
+        j = jnp.minimum(nxt, L - 1)
+        t_next = jnp.take_along_axis(t, j, axis=axis)
+        w_next = jnp.take_along_axis(wid, j, axis=axis)
+        pair_valid = alive & has_next & (w_next == wid) & (wid >= 0)
         r = lookup_ranks_jnp(
             (key_a, key_b, rank_arr), max_probes, table_size, t, t_next, pair_valid
         )
-        return r, pair_valid
+        return r, nxt, prv
 
     def cond(state):
-        t, w, any_left = state
+        _, any_left = state
         return any_left
 
     def body(state):
-        t, w, _ = state
-        r, pair_valid = pair_ranks(t, w)
-        seg_start = w != _shift_right(w, jnp.int32(-2))
-        segmin = _segmented_min(r, seg_start)
-        is_best = pair_valid & (r == segmin) & (segmin < INF_RANK)
-        # leftmost-priority non-overlap: in any run of consecutive matches
-        # (only possible for a==b pairs) take even offsets from run start
-        not_best_idx = jnp.where(is_best, -1, idx[None, :])
-        last_nonbest = jax.lax.cummax(not_best_idx, axis=not_best_idx.ndim - 1)
-        offset = idx[None, :] - last_nonbest - 1
-        selected = is_best & (offset % 2 == 0)
-
+        t, _ = state
+        alive = t >= 0
+        r, nxt, prv = pair_info(t, alive)
+        segmin = _segmented_min(r, seg_start, seg_end)
+        is_best = (r == segmin) & (segmin < INF_RANK)
+        # run-leading selection: apply iff chain-predecessor isn't a match
+        pv = jnp.maximum(prv, 0)
+        prev_best = jnp.take_along_axis(is_best, pv, axis=axis) & (prv >= 0)
+        selected = is_best & ~prev_best
         new_id = merge_new[jnp.where(selected, r, 0)]
-        t = jnp.where(selected, new_id, t)
-        kill = _shift_right(selected, False)
-        t = jnp.where(kill, -3, t)
-        w2 = jnp.where(t >= 0, w, -1)
-        t, w2 = _compact(t, w2)
-        w2 = jnp.where(t >= 0, w2, -1)
-        r2, _ = pair_ranks(t, w2)
-        return t, w2, jnp.any(r2 < INF_RANK)
+        t2 = jnp.where(selected, new_id, t)
+        # partner slots (chain-successors of selected) become tombstones
+        prev_selected = jnp.take_along_axis(selected, pv, axis=axis) & (prv >= 0)
+        t2 = jnp.where(prev_selected & alive, -1, t2)
+        # loop until an iteration applies nothing (one trailing no-op pass)
+        return (t2, jnp.any(selected))
 
-    r0, _ = pair_ranks(tokens, wid)
-    tokens, wid, _ = jax.lax.while_loop(
-        cond, body, (tokens, wid, jnp.any(r0 < INF_RANK))
+    tokens, _ = jax.lax.while_loop(
+        cond, body, (tokens, jnp.array(True))
     )
-    count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=-1)
+    count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=axis)
     return tokens, count

@@ -23,8 +23,11 @@ from ..core import pretokenizers as PT
 
 __all__ = ["EncodePipeline", "build_encode_pipeline", "pack_texts"]
 
-_LENGTH_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
-_BATCH_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+# few, coarse buckets: every (B, L) combination is a separate XLA
+# compilation (~1 min over the axon remote-compile tunnel), so shape
+# diversity is deliberately small; padding waste is cheap by comparison
+_LENGTH_BUCKETS = (128, 512, 2048, 4096)
+_BATCH_BUCKETS = (16, 256, 2048, 8192)
 
 
 def _bucket(n: int, buckets) -> int | None:
@@ -165,9 +168,9 @@ class EncodePipeline:
                     lens = jax.device_put(lens, self.sharding)
                 tokens, counts = self._encode_fn(arr, lens)
                 tokens = np.asarray(tokens)
-                counts = np.asarray(counts)
                 for row, i in enumerate(chunk):
-                    results[i] = tokens[row, : counts[row]].tolist()
+                    rt = tokens[row]
+                    results[i] = rt[rt >= 0].tolist()
 
         if host_fallback:
             # over-long texts: chunk at word boundaries (merges never cross
@@ -228,9 +231,9 @@ class EncodePipeline:
                 arr, lens = pack_texts([sub[k] for k in ks], L, Bpad)
                 tokens, counts = self._encode_fn(arr, lens)
                 tokens = np.asarray(tokens)
-                counts = np.asarray(counts)
                 for row, k in enumerate(ks):
-                    piece_results[dev_idx[k]] = tokens[row, : counts[row]].tolist()
+                    rt = tokens[row]
+                    piece_results[dev_idx[k]] = rt[rt >= 0].tolist()
         for j, (kind, w) in enumerate(pieces):
             if kind == "host":
                 piece_results[j] = self._host_word_encode(w)
