@@ -72,6 +72,23 @@ def load_library():
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.ctok_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.ctok_compact.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.ctok_pack.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -154,6 +171,49 @@ class NativeEncoder:
         out = np.empty(n, np.int32)
         m = self._lib.ctok_encode(self._ctx, _ptr(buf), n, _ptr(out))
         return out[:m].tolist()
+
+    def _encode_batch_raw(self, data: list[bytes], n_threads: int | None):
+        n = len(data)
+        if n_threads is None:
+            n_threads = os.cpu_count() or 1
+        joined = b"".join(data)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(d) for d in data], out=offsets[1:])
+        total = int(offsets[-1])
+        out = np.empty(max(total, 1), np.int32)
+        counts = np.zeros(n, np.int32)
+        jb = np.frombuffer(joined, np.uint8) if joined else np.zeros(1, np.uint8)
+        self._lib.ctok_encode_batch(
+            self._ctx, _ptr(jb), _ptr(offsets), n, _ptr(out), _ptr(counts),
+            int(n_threads),
+        )
+        return out, offsets, counts
+
+    def encode_batch(self, data: list[bytes], n_threads: int | None = None):
+        """Batch encode with per-thread word caches; returns list of lists."""
+        if not data:
+            return []
+        out, offsets, counts = self._encode_batch_raw(data, n_threads)
+        results = []
+        for i in range(len(data)):
+            a = int(offsets[i])
+            results.append(out[a : a + int(counts[i])].tolist())
+        return results
+
+    def encode_batch_ragged(self, data: list[bytes], n_threads: int | None = None):
+        """(flat_ids int32 [total], row_offsets int64 [n+1]) — zero-copy
+        ragged output, the framework-native form for feeding device code."""
+        n = len(data)
+        if n == 0:
+            return np.zeros(0, np.int32), np.zeros(1, np.int64)
+        out, offsets, counts = self._encode_batch_raw(data, n_threads)
+        total_ids = int(counts.sum())
+        flat = np.empty(max(total_ids, 1), np.int32)
+        row_offsets = np.zeros(n + 1, np.int64)
+        self._lib.ctok_compact(
+            _ptr(out), _ptr(offsets), _ptr(counts), n, _ptr(flat), _ptr(row_offsets)
+        )
+        return flat[:total_ids], row_offsets
 
 
 def native_pack(data: list[bytes], L: int, B: int):

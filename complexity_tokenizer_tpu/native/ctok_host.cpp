@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -31,6 +32,72 @@ struct PairKeyHash {
     }
 };
 
+// Per-thread word -> token-ids memo (the reference recomputes BPE for every
+// occurrence of every word; natural text is Zipf-distributed, so a word
+// cache removes the vast majority of merge-loop work).
+struct WordCache {
+    struct Entry {
+        uint64_t hash;
+        uint64_t key_off;
+        uint32_t key_len;
+        uint32_t ids_off;
+        uint32_t ids_len;
+    };
+    // open-addressing slots: 0 = empty, else entry_index + 1
+    std::vector<uint32_t> slots;
+    uint64_t mask = 0;
+    std::vector<uint8_t> key_arena;
+    std::vector<int32_t> ids_arena;
+    std::vector<Entry> entries;
+
+    void grow() {
+        size_t cap = slots.empty() ? 4096 : slots.size() * 2;
+        std::vector<uint32_t> ns(cap, 0);
+        uint64_t m = cap - 1;
+        for (uint32_t ei = 0; ei < entries.size(); ++ei) {
+            uint64_t h = entries[ei].hash & m;
+            while (ns[h]) h = (h + 1) & m;
+            ns[h] = ei + 1;
+        }
+        slots.swap(ns);
+        mask = m;
+    }
+
+    // returns entry index or -1
+    int64_t find(uint64_t hash, const uint8_t* key, int64_t len) const {
+        if (slots.empty()) return -1;
+        uint64_t h = hash & mask;
+        while (uint32_t s = slots[h]) {
+            const Entry& e = entries[s - 1];
+            if (e.hash == hash && e.key_len == (uint32_t)len &&
+                std::memcmp(key_arena.data() + e.key_off, key, len) == 0)
+                return s - 1;
+            h = (h + 1) & mask;
+        }
+        return -1;
+    }
+
+    void insert(uint64_t hash, const uint8_t* key, int64_t len,
+                const int32_t* ids, int64_t n_ids) {
+        if (entries.size() * 2 + 2 >= slots.size()) grow();
+        Entry e;
+        e.hash = hash;
+        e.key_off = key_arena.size();
+        e.key_len = (uint32_t)len;
+        e.ids_off = (uint32_t)ids_arena.size();
+        e.ids_len = (uint32_t)n_ids;
+        key_arena.insert(key_arena.end(), key, key + len);
+        ids_arena.insert(ids_arena.end(), ids, ids + n_ids);
+        uint64_t h = hash & mask;
+        while (slots[h]) h = (h + 1) & mask;
+        slots[h] = (uint32_t)entries.size() + 1;
+        entries.push_back(e);
+    }
+};
+
+constexpr int kMaxThreads = 16;
+constexpr int64_t kMaxCachedWord = 256;
+
 struct Ctx {
     std::unordered_map<PairKey, int32_t, PairKeyHash> ranks;
     std::vector<int32_t> rank_new;  // rank -> minted id (-1 gaps)
@@ -38,7 +105,18 @@ struct Ctx {
     // GPT-2 classes per codepoint: 0=other,1=ws,2=letter,3=number
     const uint8_t* cls_table;  // borrowed; caller keeps alive
     int64_t cls_size;
+    uint8_t ascii_cls[128];  // fast path for ASCII bytes
+    WordCache caches[kMaxThreads];
 };
+
+inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
+    uint64_t h = 1469598103934665603ull;
+    for (int64_t i = 0; i < n; ++i) {
+        h ^= p[i];
+        h *= 1099511628211ull;
+    }
+    return h;
+}
 
 inline PairKey key(int32_t a, int32_t b) {
     return PairKey{(uint64_t)(uint32_t)a << 32 | (uint32_t)b};
@@ -91,6 +169,100 @@ inline void merge_word(const Ctx* c, std::vector<int32_t>& toks) {
     }
 }
 
+// class of char at data[i]; sets *clen to its UTF-8 length
+inline int cls_at(const Ctx* c, const uint8_t* data, int64_t n, int64_t i,
+                  int* clen) {
+    uint8_t b = data[i];
+    if (b < 0x80) {
+        *clen = 1;
+        return c->ascii_cls[b];
+    }
+    uint32_t cp;
+    *clen = decode_cp(data, n, i, &cp);
+    return cls_of(c, cp);
+}
+
+// Encode one word's bytes into out; returns count.  Uses the cache when
+// provided and the word is small enough.
+inline int64_t encode_word(const Ctx* c, WordCache* cache, const uint8_t* data,
+                           int64_t start, int64_t end, int32_t* out,
+                           std::vector<int32_t>& scratch) {
+    int64_t wlen = end - start;
+    uint64_t h = 0;
+    if (cache && wlen <= kMaxCachedWord) {
+        h = fnv1a(data + start, wlen);
+        int64_t ei = cache->find(h, data + start, wlen);
+        if (ei >= 0) {
+            const WordCache::Entry& e = cache->entries[ei];
+            std::memcpy(out, cache->ids_arena.data() + e.ids_off,
+                        e.ids_len * sizeof(int32_t));
+            return e.ids_len;
+        }
+    }
+    scratch.clear();
+    for (int64_t k = start; k < end; ++k) {
+        int32_t t = c->byte_token[data[k]];
+        if (t >= 0) scratch.push_back(t);
+    }
+    if (!scratch.empty()) merge_word(c, scratch);
+    for (size_t i = 0; i < scratch.size(); ++i) out[i] = scratch[i];
+    if (cache && wlen <= kMaxCachedWord) {
+        cache->insert(h, data + start, wlen, scratch.data(),
+                      (int64_t)scratch.size());
+    }
+    return (int64_t)scratch.size();
+}
+
+// Scan [data, data+n) emitting GPT-2 simplified matches; for each word call
+// encode_word.  Returns total ids written.
+inline int64_t encode_text(const Ctx* c, WordCache* cache, const uint8_t* data,
+                           int64_t n, int32_t* out,
+                           std::vector<int32_t>& scratch) {
+    if (n <= 0) return 0;
+    int64_t n_out = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int clen;
+        int cur_cls = cls_at(c, data, n, i, &clen);
+        int64_t start = i, end;
+        int contr = 0;
+        if (data[i] == '\'' && i + 1 < n) {
+            uint8_t n1 = data[i + 1];
+            if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') contr = 2;
+            else if (i + 2 < n) {
+                uint8_t n2 = data[i + 2];
+                if ((n1 == 'r' && n2 == 'e') || (n1 == 'v' && n2 == 'e') ||
+                    (n1 == 'l' && n2 == 'l'))
+                    contr = 3;
+            }
+        }
+        if (contr) {
+            end = i + contr;
+        } else {
+            int64_t j = i;
+            int run_cls = cur_cls;
+            if (data[i] == ' ' && i + 1 < n) {
+                int l2;
+                int c2 = cls_at(c, data, n, i + 1, &l2);
+                if (c2 != CL_WS) {
+                    j = i + 1;
+                    run_cls = c2;
+                }
+            }
+            if (run_cls == CL_WS) end = i;
+            else end = j;
+            while (end < n) {
+                int lr;
+                if (cls_at(c, data, n, end, &lr) != run_cls) break;
+                end += lr;
+            }
+        }
+        n_out += encode_word(c, cache, data, start, end, out + n_out, scratch);
+        i = end;
+    }
+    return n_out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -107,6 +279,7 @@ void* ctok_new(int64_t n_pairs, const int32_t* pa, const int32_t* pb,
     std::memcpy(c->byte_token, byte_token, 256 * sizeof(int32_t));
     c->cls_table = cls_table;
     c->cls_size = cls_size;
+    for (int i = 0; i < 128 && i < cls_size; ++i) c->ascii_cls[i] = cls_table[i];
     return c;
 }
 
@@ -117,84 +290,61 @@ void ctok_free(void* p) { delete (Ctx*)p; }
 // is an upper bound).  Returns the id count.
 int64_t ctok_encode(void* p, const uint8_t* data, int64_t n, int32_t* out) {
     Ctx* c = (Ctx*)p;
-    if (n <= 0) return 0;
-    int64_t n_out = 0;
-    std::vector<int32_t> toks;
-    toks.reserve(32);
+    std::vector<int32_t> scratch;
+    scratch.reserve(64);
+    return encode_text(c, &c->caches[0], data, n, out, scratch);
+}
 
-    int64_t i = 0;
-    while (i < n) {
-        // classify current char
-        uint32_t cp;
-        int len = decode_cp(data, n, i, &cp);
-        int cur_cls = cls_of(c, cp);
+// Batch encode with per-thread word caches.  ``joined`` holds all texts
+// back to back; ``offsets[i]..offsets[i+1]`` delimits text i.  Ids for text
+// i are written at out + offsets[i] (a text's id count never exceeds its
+// byte count); counts go to out_counts.  Caches persist across calls.
+void ctok_encode_batch(void* p, const uint8_t* joined, const int64_t* offsets,
+                       int64_t n_texts, int32_t* out, int32_t* out_counts,
+                       int32_t n_threads) {
+    Ctx* c = (Ctx*)p;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    if (n_texts < n_threads * 4) n_threads = 1;
 
-        int64_t start = i, end;
-        // i is always a match start here, so the contraction alternatives
-        // are tried first whenever the char is an apostrophe
-        int contr = 0;
-        if (data[i] == '\'' && i + 1 < n) {
-            uint8_t n1 = data[i + 1];
-            if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') contr = 2;
-            else if (i + 2 < n) {
-                uint8_t n2 = data[i + 2];
-                if ((n1 == 'r' && n2 == 'e') || (n1 == 'v' && n2 == 'e') ||
-                    (n1 == 'l' && n2 == 'l'))
-                    contr = 3;
-            }
+    auto worker = [&](int tid) {
+        std::vector<int32_t> scratch;
+        scratch.reserve(64);
+        WordCache* cache = &c->caches[tid];
+        // balanced partition by byte volume
+        int64_t total = offsets[n_texts];
+        int64_t lo_b = total * tid / n_threads;
+        int64_t hi_b = total * (tid + 1) / n_threads;
+        for (int64_t i = 0; i < n_texts; ++i) {
+            int64_t a = offsets[i];
+            if (a < lo_b || a >= hi_b) continue;
+            int64_t b = offsets[i + 1];
+            out_counts[i] = (int32_t)encode_text(
+                c, cache, joined + a, b - a, out + a, scratch);
         }
-        if (contr) {
-            end = i + contr;
-        } else {
-            // optional single-space absorption
-            int64_t j = i;
-            int run_cls = cur_cls;
-            if (data[i] == ' ' && i + 1 < n) {
-                uint32_t cp2;
-                int l2 = decode_cp(data, n, i + 1, &cp2);
-                (void)l2;
-                int c2 = cls_of(c, cp2);
-                if (c2 != CL_WS) {
-                    j = i + 1;
-                    run_cls = c2;
-                }
-            }
-            if (run_cls == CL_WS) {
-                // whitespace run
-                end = i;
-                while (end < n) {
-                    uint32_t cpr;
-                    int lr = decode_cp(data, n, end, &cpr);
-                    if (cls_of(c, cpr) != CL_WS) break;
-                    end += lr;
-                }
-            } else {
-                // greedy class run from j
-                end = j;
-                while (end < n) {
-                    uint32_t cpr;
-                    int lr = decode_cp(data, n, end, &cpr);
-                    if (cls_of(c, cpr) != run_cls) break;
-                    end += lr;
-                }
-            }
-        }
-        (void)len;
-        (void)cur_cls;
-
-        // seed + merge this word [start, end)
-        toks.clear();
-        for (int64_t k = start; k < end; ++k) {
-            int32_t t = c->byte_token[data[k]];
-            if (t >= 0) toks.push_back(t);
-        }
-        if (!toks.empty()) {
-            merge_word(c, toks);
-            for (int32_t t : toks) out[n_out++] = t;
-        }
-        i = end;
+    };
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
     }
-    return n_out;
+}
+
+// Compact per-text id regions (written at byte offsets by
+// ctok_encode_batch) into one contiguous buffer + result offsets.
+void ctok_compact(const int32_t* src, const int64_t* offsets,
+                  const int32_t* counts, int64_t n_texts, int32_t* dst,
+                  int64_t* dst_offsets) {
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n_texts; ++i) {
+        dst_offsets[i] = pos;
+        int64_t cnt = counts[i];
+        std::memcpy(dst + pos, src + offsets[i], cnt * sizeof(int32_t));
+        pos += cnt;
+    }
+    dst_offsets[n_texts] = pos;
 }
 
 // Batch pack: joined byte buffer + offsets -> zero-padded [B, L] matrix.

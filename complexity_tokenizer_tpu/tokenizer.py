@@ -95,6 +95,7 @@ class Tokenizer:
         self._native_dirty = True
         self._added_checkers_cache = None
         self.use_device: bool = os.environ.get("CTOK_DISABLE_DEVICE", "") != "1"
+        self.encode_backend: str = os.environ.get("CTOK_ENCODE_BACKEND", "auto")
 
     # ------------------------------------------------------------------
     # Constructors
@@ -397,25 +398,121 @@ class Tokenizer:
                 return False
         return True
 
-    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+    def _batch_fastpath_eligible(self, normalized_texts) -> bool:
+        """Whole-batch gate: one substring scan over the joined corpus
+        (texts are newline-joined; a token containing a newline could
+        false-positive across boundaries, which only costs a per-text
+        recheck, never a wrong result)."""
+        if not self.added_tokens:
+            return True
+        raw, need_encoded = self._added_token_checkers()
+        joined = "\n".join(normalized_texts)
+        if any(t in joined for t in raw):
+            return False
+        if need_encoded:
+            from .utils.bytelevel import encode_bytes
+
+            enc = encode_bytes(joined.encode("utf-8"))
+            if any(t in enc for t in need_encoded):
+                return False
+        return True
+
+    def _normalize_batch(self, texts):
         norm = self.normalizer
-        normalized = [norm.normalize(t) for t in texts] if norm else list(texts)
-        pipeline = self._get_pipeline()
-        if pipeline is None:
-            return [self._encode_host(t, already_normalized=True) for t in normalized]
-        eligible = [self._text_fastpath_eligible(t) for t in normalized]
-        dev_idx = [i for i, ok in enumerate(eligible) if ok]
+        if norm is None:
+            return list(texts)
+        from .core.normalizers import NFC, NFD, NFKC, NFKD
+
+        if isinstance(norm, (NFC, NFD, NFKC, NFKD)):
+            # Unicode normalization is the identity on pure-ASCII text
+            nz = norm.normalize
+            return [t if t.isascii() else nz(t) for t in texts]
+        return [norm.normalize(t) for t in texts]
+
+    def encode_batch(
+        self, texts: list[str], backend: str | None = None
+    ) -> list[list[int]]:
+        """Batch encode.  ``backend``: "auto" (default; native C++ runtime
+        with word cache, falling back to device then host), "device" (TPU
+        pipeline), "native", or "host" (pure-Python oracle)."""
+        backend = backend or self.encode_backend
+        normalized = self._normalize_batch(texts)
+
+        if self._batch_fastpath_eligible(normalized):
+            fast_idx: list[int] = list(range(len(normalized)))
+            slow_idx: list[int] = []
+        else:
+            fast_idx, slow_idx = [], []
+            for i, t in enumerate(normalized):
+                (fast_idx if self._text_fastpath_eligible(t) else slow_idx).append(i)
         out: list[list[int] | None] = [None] * len(texts)
-        if dev_idx:
-            dev_results = pipeline.encode_batch(
-                [normalized[i] for i in dev_idx], already_normalized=True
-            )
-            for i, ids in zip(dev_idx, dev_results):
+
+        runner = None
+        if backend in ("auto", "native"):
+            native = self._get_native_encoder()
+            if native is not None:
+                from .core.pretokenizers import ByteLevel as _BL
+
+                pt = self.pre_tokenizer
+                aps = isinstance(pt, _BL) and pt.add_prefix_space
+
+                def native_run(idxs):
+                    data = []
+                    for i in idxs:
+                        t = normalized[i]
+                        if aps and t and not t.startswith(" "):
+                            t = " " + t
+                        data.append(t.encode("utf-8"))
+                    return native.encode_batch(data)
+
+                runner = native_run
+        if runner is None and backend in ("auto", "device"):
+            pipeline = self._get_pipeline()
+            if pipeline is not None:
+                runner = lambda idxs: pipeline.encode_batch(
+                    [normalized[i] for i in idxs], already_normalized=True
+                )
+
+        if runner is not None and fast_idx:
+            for i, ids in zip(fast_idx, runner(fast_idx)):
                 out[i] = ids
-        for i, ok in enumerate(eligible):
-            if not ok:
-                out[i] = self._encode_host(normalized[i], already_normalized=True)
+        elif fast_idx:
+            slow_idx = fast_idx + slow_idx
+
+        for i in slow_idx:
+            out[i] = self._encode_host(normalized[i], already_normalized=True)
         return out  # type: ignore[return-value]
+
+    def encode_batch_ragged(self, texts: list[str]):
+        """Zero-copy batch encode: (flat_ids int32, row_offsets int64).
+
+        The framework-native output form (row i's ids are
+        ``flat[offsets[i]:offsets[i+1]]``), analogous to the reference's
+        numpy export surface (bindings/encoding.rs:144-158, 265-275) but
+        without per-id Python object creation.
+        """
+        import numpy as np
+
+        normalized = self._normalize_batch(texts)
+        native = self._get_native_encoder()
+        if native is not None and self._batch_fastpath_eligible(normalized):
+            from .core.pretokenizers import ByteLevel as _BL
+
+            pt = self.pre_tokenizer
+            aps = isinstance(pt, _BL) and pt.add_prefix_space
+            data = []
+            for t in normalized:
+                if aps and t and not t.startswith(" "):
+                    t = " " + t
+                data.append(t.encode("utf-8"))
+            return native.encode_batch_ragged(data)
+        rows = self.encode_batch(texts)
+        offsets = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum([len(r) for r in rows], out=offsets[1:])
+        flat = np.fromiter(
+            (i for r in rows for i in r), np.int32, count=int(offsets[-1])
+        )
+        return flat, offsets
 
     def decode(self, ids) -> str:
         return self._decode_impl(ids, False, True)

@@ -64,3 +64,37 @@ def test_native_pack_matches_python():
     assert bytes(arr[0, :5]) == b"hello"
     assert arr[1].sum() == 0
     assert arr[4:].sum() == 0
+
+
+def test_native_encode_batch_matches_host():
+    tok = trained_tokenizer()
+    ne = tok._get_native_encoder()
+    assert ne is not None
+    texts = conformance_corpus()
+    normalized = [tok.normalizer.normalize(t) for t in texts]
+    expected = [tok._encode_host(t, already_normalized=True) for t in normalized]
+    got = ne.encode_batch([t.encode("utf-8") for t in normalized])
+    assert got == expected
+    # cache warm second pass identical
+    got2 = ne.encode_batch([t.encode("utf-8") for t in normalized])
+    assert got2 == expected
+
+
+def test_encode_batch_backends_agree():
+    tok = trained_tokenizer()
+    texts = conformance_corpus()[:12] + ["with <s> token inside"]
+    host = tok.encode_batch(texts, backend="host")
+    assert tok.encode_batch(texts, backend="native") == host
+    assert tok.encode_batch(texts, backend="auto") == host
+
+
+def test_encode_batch_ragged():
+    import numpy as np
+
+    tok = trained_tokenizer()
+    texts = conformance_corpus()
+    flat, offsets = tok.encode_batch_ragged(texts)
+    rows = tok.encode_batch(texts, backend="host")
+    assert offsets[0] == 0 and offsets[-1] == len(flat)
+    for i, r in enumerate(rows):
+        np.testing.assert_array_equal(flat[offsets[i] : offsets[i + 1]], r)
