@@ -57,6 +57,143 @@ class PairHashTable:
     max_probes: int
 
 
+@dataclass
+class ChdTable:
+    """Perfect-hash (compress-hash-displace) pair table: exactly one slot
+    probe per lookup.
+
+    slot = (mix2(a,b) + disp[mix1(a,b) & (B-1)]) & (T-1); the row table
+    packs (key_a, key_b, rank, 0) so verification + rank need a single
+    row gather plus the displacement gather — 2 gathers total vs
+    3 x max_probes for linear probing.  Chosen because data-dependent
+    gathers are the dominant per-iteration cost of the merge kernel.
+    """
+
+    disp: np.ndarray  # [B] int32 displacements
+    rows: np.ndarray  # [T, 4] int32: key_a, key_b, rank, 0 (-1 keys empty)
+    size: int  # T (power of two)
+    n_buckets: int  # B (power of two)
+
+
+def build_chd_table(
+    merge_ranks: dict[tuple[int, int], int],
+    merge_ops: dict | None = None,
+    load: float = 0.7,
+) -> ChdTable | None:
+    """Construct a CHD perfect hash; None if construction fails.
+
+    ``merge_ops`` maps rank -> ((a, b), new_id); the minted id is packed
+    into row column 3 so the merge kernel resolves (rank, new_id) with one
+    row gather.
+    """
+    n = max(len(merge_ranks), 1)
+    size = 1
+    while size * load < n:
+        size <<= 1
+    for _ in range(3):  # grow on failure
+        t = _try_build_chd(merge_ranks, merge_ops or {}, size)
+        if t is not None:
+            return t
+        size <<= 1
+    return None
+
+
+def _try_build_chd(merge_ranks, merge_ops, size: int) -> ChdTable | None:
+    mask = size - 1
+    n_buckets = max(size // 4, 1)
+    bmask = n_buckets - 1
+    if not merge_ranks:
+        rows = np.full((size, 4), -1, dtype=np.int32)
+        rows[:, 2] = INF_RANK
+        return ChdTable(np.zeros(n_buckets, np.int32), rows, size, n_buckets)
+
+    keys = np.array(list(merge_ranks.keys()), dtype=np.int64)  # [n, 2]
+    ranks = np.array(list(merge_ranks.values()), dtype=np.int32)
+    new_ids = np.array(
+        [merge_ops.get(int(r), ((0, 0), -1))[1] for r in ranks], dtype=np.int32
+    )
+    a = keys[:, 0].astype(np.uint32)
+    b = keys[:, 1].astype(np.uint32)
+    h1 = _mix_hash_np(a, b, bmask)  # bucket
+    # second, independent mix for the base slot
+    with np.errstate(over="ignore"):
+        M = np.uint64(0xFFFFFFFF)
+        g = (
+            (a.astype(np.uint64) * np.uint64(0x9E3779B1)) & M
+        ) ^ ((b.astype(np.uint64) * np.uint64(0x7FEB352D)) & M)
+        g = g ^ (g >> np.uint64(16))
+        g = (g * np.uint64(0x45D9F3B)) & M
+        h2 = (g & np.uint64(mask)).astype(np.int64)
+
+    order = np.argsort(h1, kind="stable")
+    h1s = h1[order]
+    boundaries = np.flatnonzero(np.diff(h1s)) + 1
+    groups = np.split(order, boundaries)
+    groups.sort(key=len, reverse=True)
+
+    taken = np.zeros(size, dtype=bool)
+    disp = np.zeros(n_buckets, np.int32)
+    rows = np.full((size, 4), -1, dtype=np.int32)
+    rows[:, 2] = INF_RANK
+    for grp in groups:
+        base = h2[grp]
+        placed = False
+        for d in range(size):
+            pos = (base + d) & mask
+            if len(grp) > 1 and len(np.unique(pos)) != len(grp):
+                continue
+            if not taken[pos].any():
+                taken[pos] = True
+                disp[h1[grp[0]]] = d
+                rows[pos, 0] = a[grp].astype(np.int32)
+                rows[pos, 1] = b[grp].astype(np.int32)
+                rows[pos, 2] = ranks[grp]
+                rows[pos, 3] = new_ids[grp]
+                placed = True
+                break
+        if not placed:
+            return None
+    return ChdTable(disp, rows, size, n_buckets)
+
+
+def mix_hash2_jnp(a, b, mask: int):
+    """Device twin of the CHD base-slot mix (bit-identical)."""
+    import jax.numpy as jnp
+
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    g = (a * np.uint32(0x9E3779B1)) ^ (b * np.uint32(0x7FEB352D))
+    g = g ^ (g >> np.uint32(16))
+    g = g * np.uint32(0x45D9F3B)
+    return (g & np.uint32(mask)).astype(jnp.int32)
+
+
+def chd_lookup_jnp(disp, rows, size: int, n_buckets: int, a, b, valid):
+    """Rank lookup via the CHD table: 2 gathers."""
+    import jax.numpy as jnp
+
+    bucket = mix_hash_jnp(a, b, n_buckets - 1)
+    d = disp[bucket]
+    pos = (mix_hash2_jnp(a, b, size - 1) + d) & (size - 1)
+    row = rows[pos]  # [..., 4]
+    hit = (row[..., 0] == a) & (row[..., 1] == b) & valid
+    return jnp.where(hit, row[..., 2], INF_RANK)
+
+
+def chd_lookup_rows_jnp(disp, rows, size: int, n_buckets: int, a, b, valid):
+    """(rank, new_id) lookup via the CHD table: 2 gathers total."""
+    import jax.numpy as jnp
+
+    bucket = mix_hash_jnp(a, b, n_buckets - 1)
+    d = disp[bucket]
+    pos = (mix_hash2_jnp(a, b, size - 1) + d) & (size - 1)
+    row = rows[pos]  # [..., 4]
+    hit = (row[..., 0] == a) & (row[..., 1] == b) & valid
+    rank = jnp.where(hit, row[..., 2], INF_RANK)
+    new_id = row[..., 3]
+    return rank, new_id
+
+
 def build_pair_table(
     merge_ranks: dict[tuple[int, int], int], min_load_shift: int = 2
 ) -> PairHashTable:

@@ -1,29 +1,34 @@
-"""The BPE merge kernel: segmented-min rank selection over tombstone chains.
+"""The BPE merge kernel: local-minima parallel apply over tombstone chains.
 
 The reference's hot loop (bpe.rs:104-153) scans all adjacent pairs, merges
 the leftmost occurrence of the lowest-rank pair, and repeats — O(n^2) hash
 probes per word, one merge per iteration.
 
-TPU design (v2, tombstone layout — no per-iteration compaction):
+TPU design (v3):
 
-- tokens stay at their original byte positions forever; merged-away slots
-  become tombstones (-1).  ``word_id`` from the pre-split is static, so the
-  per-word segment structure (and its scan masks) is computed ONCE;
-- each iteration: a reverse-cummin scan finds every slot's next-alive
-  neighbor, pair ranks come from hash-table gathers, two segmented scans
-  give each word's best rank at every position, and a match is applied iff
-  its chain-predecessor is not also a match (run-leading selection);
-- merged slots take the minted id, their partners become tombstones via a
-  prev-alive gather — all elementwise ops and scans, nothing sorted;
-- the final ragged extraction (drop tombstones) happens on the host.
-
-Run-leading selection vs the reference's leftmost-first: within one word
-and one iteration only non-overlapping occurrences of the word's single
-best pair are applied, leading occurrence first; an overlapping chain like
-"aaa" resolves across iterations in the same left-to-right order, so ids
-match the reference exactly (for well-formed tables, see
-core.bpe.merges_well_formed — new pairs always rank after the applied
-rank, so the applied-rank sequence is identical).
+- **tombstone layout**: tokens stay at their byte positions; merged-away
+  slots become -1.  Nothing is compacted or sorted inside the loop; the
+  ragged extraction happens once on the host.
+- **carry scans instead of gathers**: every neighbor relation (next-alive
+  token/word, neighbor pair ranks, partner kill) is a first/last-valid
+  associative scan along the lane axis — scans are nearly free on TPU
+  while data-dependent gathers are the dominant cost.
+- **perfect-hash rank lookup**: a CHD table resolves pair -> (rank, minted
+  id) in exactly two gathers (displacement + packed [T,4] row).
+- **per-word minimum-rank apply**: each iteration merges, in every word
+  simultaneously, all non-overlapping occurrences of that word's
+  lowest-rank pair (leading occurrence first in overlapping runs).  This
+  is the only locally-decidable rule that is provably order-equivalent to
+  the reference's global lowest-rank-first loop: any pair created by
+  applying rank r ranks after r (well-formed tables,
+  core.bpe.merges_well_formed), so a word's current minimum can never be
+  preempted.  A tempting stronger rule — merge every *local* rank
+  minimum — is unsound: with state [Ġ, Mi, x, ed] and ranks
+  (Ġ,Mi)=353, (x,ed)=242, merging the locally-minimal (Ġ,Mi) is wrong
+  because (x,ed) later forms (Mi,xed)=331 < 353, which the sequential
+  loop merges first.  The per-word min is computed by two segmented scans
+  over the static word segments.  Diff-tested against the host oracle in
+  tests/test_device_encode.py.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .hashtable import INF_RANK, lookup_ranks_jnp
+from .hashtable import INF_RANK, chd_lookup_rows_jnp
 
 __all__ = ["merge_words", "seed_tokens"]
 
@@ -48,20 +53,45 @@ def _shift_right(x, fill):
     return jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
-def _seg_comb(x, y):
-    vx, fx = x
-    vy, fy = y
-    return jnp.where(fy, vy, jnp.minimum(vx, vy)), fx | fy
+def _carry_last(v, valid, axis):
+    """Inclusive forward carry: value at the last valid position <= i."""
+
+    def comb(x, y):
+        vx, fx = x
+        vy, fy = y
+        return jnp.where(fy, vy, vx), fx | fy
+
+    out, _ = jax.lax.associative_scan(comb, (v, valid), axis=axis)
+    return out
 
 
-def _segmented_min(rank, seg_start, seg_end):
-    """Per-position min over each (static) segment via two scans."""
-    axis = rank.ndim - 1
-    fwd, _ = jax.lax.associative_scan(_seg_comb, (rank, seg_start), axis=axis)
-    bwd, _ = jax.lax.associative_scan(
-        _seg_comb, (rank, seg_end), axis=axis, reverse=True
+def _carry_first(v, valid, axis):
+    """Inclusive reverse carry: value at the first valid position >= i.
+
+    NB: jax's reverse associative_scan passes the NEARER element (lower
+    original index) as the combine's second argument, so both directions
+    use the same prefer-second combine.
+    """
+
+    def comb(x, y):
+        vx, fx = x
+        vy, fy = y
+        return jnp.where(fy, vy, vx), fx | fy
+
+    out, _ = jax.lax.associative_scan(comb, (v, valid), axis=axis, reverse=True)
+    return out
+
+
+def _carry_first2(v1, v2, valid, axis):
+    def comb(x, y):
+        a1, a2, fx = x
+        b1, b2, fy = y
+        return jnp.where(fy, b1, a1), jnp.where(fy, b2, a2), fx | fy
+
+    o1, o2, _ = jax.lax.associative_scan(
+        comb, (v1, v2, valid), axis=axis, reverse=True
     )
-    return jnp.minimum(fwd, bwd)
+    return o1, o2
 
 
 def seed_tokens(byte_arr, word_id, valid, byte_token_table):
@@ -76,81 +106,69 @@ def seed_tokens(byte_arr, word_id, valid, byte_token_table):
     return tokens, word_id
 
 
-@functools.partial(jax.jit, static_argnames=("table_size", "max_probes"))
+@functools.partial(jax.jit, static_argnames=("table_size", "n_buckets"))
 def merge_words(
     tokens,
     wid,
-    key_a,
-    key_b,
-    rank_arr,
-    merge_new,
+    disp,
+    rows,
     table_size: int,
-    max_probes: int,
+    n_buckets: int,
 ):
     """Run the merge loop to fixpoint on the tombstone layout.
 
     Args:
       tokens: [B, L] int32, -1 = tombstone/pad, positions never move.
       wid: [B, L] int32 static word ids (-1 past end).
+      disp: [n_buckets] int32 CHD displacements.
+      rows: [table_size, 4] int32 (key_a, key_b, rank, new_id).
     Returns:
       (tokens, count): scattered ids (-1 tombstones, original order) and
       per-row live counts.
     """
-    B, L = tokens.shape
-    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-    axis = 1
-
-    # static per-word segment masks
-    wid_prev = _shift_right(wid, jnp.int32(-2))
-    seg_start = wid != wid_prev
+    axis = tokens.ndim - 1
+    # static per-word segment boundaries (word ids never move)
+    seg_start = wid != _shift_right(wid, jnp.int32(-2))
     seg_end = _shift_left(seg_start, True)
 
-    def chain_neighbors(alive):
-        """(next_alive_idx, prev_alive_idx) along each row; L / -1 absent."""
-        ai = jnp.where(alive, idx, L)
-        nxt_incl = jax.lax.cummin(ai, axis=axis, reverse=True)
-        nxt = _shift_left(nxt_incl, jnp.int32(L))
-        pi = jnp.where(alive, idx, -1)
-        prv_incl = jax.lax.cummax(pi, axis=axis)
-        prv = _shift_right(prv_incl, jnp.int32(-1))
-        return nxt, prv
+    def _segmin(r):
+        # reset-at-flag min; the nearer element is the combine's second
+        # argument in BOTH scan directions (see _carry_first note)
+        def comb(x, y):
+            vx, fx = x
+            vy, fy = y
+            return jnp.where(fy, vy, jnp.minimum(vx, vy)), fx | fy
 
-    def pair_info(t, alive):
-        nxt, prv = chain_neighbors(alive)
-        has_next = nxt < L
-        j = jnp.minimum(nxt, L - 1)
-        t_next = jnp.take_along_axis(t, j, axis=axis)
-        w_next = jnp.take_along_axis(wid, j, axis=axis)
-        pair_valid = alive & has_next & (w_next == wid) & (wid >= 0)
-        r = lookup_ranks_jnp(
-            (key_a, key_b, rank_arr), max_probes, table_size, t, t_next, pair_valid
+        fwd, _ = jax.lax.associative_scan(comb, (r, seg_start), axis=axis)
+        bwd, _ = jax.lax.associative_scan(
+            comb, (r, seg_end), axis=axis, reverse=True
         )
-        return r, nxt, prv
-
-    def cond(state):
-        _, any_left = state
-        return any_left
+        return jnp.minimum(fwd, bwd)
 
     def body(state):
         t, _ = state
         alive = t >= 0
-        r, nxt, prv = pair_info(t, alive)
-        segmin = _segmented_min(r, seg_start, seg_end)
-        is_best = (r == segmin) & (segmin < INF_RANK)
-        # run-leading selection: apply iff chain-predecessor isn't a match
-        pv = jnp.maximum(prv, 0)
-        prev_best = jnp.take_along_axis(is_best, pv, axis=axis) & (prv >= 0)
+        tn_incl, wn_incl = _carry_first2(t, wid, alive, axis)
+        t_next = _shift_left(tn_incl, jnp.int32(-1))
+        w_next = _shift_left(wn_incl, jnp.int32(-3))
+        pair_valid = alive & (t_next >= 0) & (w_next == wid) & (wid >= 0)
+        r, minted = chd_lookup_rows_jnp(
+            disp, rows, table_size, n_buckets, t, t_next, pair_valid
+        )
+        segmin = _segmin(r)
+        is_best = (r == segmin) & (segmin < INF_RANK) & pair_valid
+        # overlapping-run resolution: suppress a match whose chain-previous
+        # pair is also a match (only possible for a==b runs)
+        prev_best = _shift_right(_carry_last(is_best, alive, axis), False)
         selected = is_best & ~prev_best
-        new_id = merge_new[jnp.where(selected, r, 0)]
-        t2 = jnp.where(selected, new_id, t)
-        # partner slots (chain-successors of selected) become tombstones
-        prev_selected = jnp.take_along_axis(selected, pv, axis=axis) & (prv >= 0)
-        t2 = jnp.where(prev_selected & alive, -1, t2)
-        # loop until an iteration applies nothing (one trailing no-op pass)
-        return (t2, jnp.any(selected))
+        t2 = jnp.where(selected, minted, t)
+        killed = alive & _shift_right(_carry_last(selected, alive, axis), False)
+        t2 = jnp.where(killed, -1, t2)
+        return t2, jnp.any(selected)
 
-    tokens, _ = jax.lax.while_loop(
-        cond, body, (tokens, jnp.array(True))
-    )
+    def cond(state):
+        return state[1]
+
+    tokens, _ = jax.lax.while_loop(cond, body, (tokens, jnp.array(True)))
     count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=axis)
     return tokens, count

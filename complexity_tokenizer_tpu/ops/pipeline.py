@@ -75,12 +75,10 @@ class EncodePipeline:
         self.add_prefix_space = add_prefix_space
         self.tables = tables
         self.byte_token_table = jnp.asarray(tables.byte_token_table)
-        self.merge_new = jnp.asarray(tables.merge_new)
-        self.key_a = jnp.asarray(tables.hash_table.key_a)
-        self.key_b = jnp.asarray(tables.hash_table.key_b)
-        self.rank_arr = jnp.asarray(tables.hash_table.rank)
-        self.table_size = tables.hash_table.size
-        self.max_probes = tables.hash_table.max_probes
+        self.disp = jnp.asarray(tables.chd.disp)
+        self.rows = jnp.asarray(tables.chd.rows)
+        self.table_size = tables.chd.size
+        self.n_buckets = tables.chd.n_buckets
         self.sharding = sharding  # optional jax.sharding.NamedSharding for batch
         self.n_devices = 1
 
@@ -111,12 +109,10 @@ class EncodePipeline:
             return merge_words(
                 tokens,
                 wid,
-                self.key_a,
-                self.key_b,
-                self.rank_arr,
-                self.merge_new,
+                self.disp,
+                self.rows,
                 self.table_size,
-                self.max_probes,
+                self.n_buckets,
             )
 
         return jax.jit(fn)
@@ -259,7 +255,7 @@ def build_encode_pipeline(tokenizer) -> EncodePipeline | None:
     from .tables import build_device_tables
 
     tables = build_device_tables(tokenizer.bpe)
-    if not tables.well_formed:
+    if not tables.well_formed or tables.chd is None:
         return None
     return EncodePipeline(
         tables, tokenizer.normalizer, pt.add_prefix_space, host_bpe=tokenizer.bpe

@@ -80,3 +80,22 @@ def test_device_random_fuzz(tok, pipeline):
     got = pipeline.encode_batch(texts)
     for t, e, g in zip(texts, expected, got):
         assert g == e, (repr(t), e, g)
+
+
+def test_device_fuzz_heavy(tok, pipeline):
+    """Wider fuzz: longer words, repeated chars (overlap runs), deep merge
+    chains — the cases that distinguish selection rules."""
+    rng = np.random.RandomState(7)
+    pieces = [
+        "Mixed", "mixing", "mixed", "alphanumeric", "Ελληνικά", "γράμματα",
+        "supercalifragilistic", "aaaa", "aaaaaaa", "....", "'''", "!!!",
+        "don't", "it's", "123456", "  ", "\t", "é", "日本語", "x",
+    ]
+    texts = []
+    for _ in range(96):
+        n = rng.randint(1, 12)
+        texts.append(" ".join(pieces[rng.randint(0, len(pieces))] for _ in range(n)))
+    expected = [tok._encode_host(t) for t in texts]
+    got = pipeline.encode_batch(texts)
+    for t, e, g in zip(texts, expected, got):
+        assert g == e, (repr(t), e, g)
