@@ -70,11 +70,23 @@ def _split_whitespace_join(text: str) -> str:
     return " ".join(parts)
 
 
+class _SpecialTokensMap(dict):
+    """dict of special token -> id that is also callable.
+
+    The reference exposes ``special_tokens()`` as a method returning a dict
+    (bindings/tokenizer.rs:285-289); idiomatic Python prefers a mapping
+    attribute.  Supporting both lets either call style work.
+    """
+
+    def __call__(self) -> dict:
+        return dict(self)
+
+
 class Tokenizer:
     def __init__(self):
         self.bpe: BpeTokenizer = BpeTokenizer({}, [])
         self.vocab: Vocab = Vocab({}, SpecialTokens())
-        self.special_tokens: dict[str, int] = {}
+        self.special_tokens: _SpecialTokensMap = _SpecialTokensMap()
         self.added_tokens: dict[str, int] = {}
         self.added_tokens_config: dict[str, AddedTokenConfig] = {}
         self.normalizer: N.Normalizer | None = None
@@ -987,6 +999,20 @@ class Tokenizer:
 
     @chat_template.setter
     def chat_template(self, value: str | None) -> None:
+        self._chat_template = value
+
+    # Explicit setter methods mirroring the reference's non-property setters
+    # (bindings/tokenizer.rs:409-441).
+    def set_model_max_length(self, value: int) -> None:
+        self._model_max_length = value
+
+    def set_padding_side(self, value: str) -> None:
+        self._padding_side = value
+
+    def set_truncation_side(self, value: str) -> None:
+        self._truncation_side = value
+
+    def set_chat_template(self, value: str | None) -> None:
         self._chat_template = value
 
     # Special token properties

@@ -277,3 +277,22 @@ def test_encoding_offsets_path():
     enc = tok.encode_to_encoding("hello world")
     assert len(enc.offsets) == len(enc.ids)
     assert enc.word_ids[0] == 0
+
+
+def test_explicit_setters_and_callable_special_tokens():
+    """Reference exposes set_* methods (bindings/tokenizer.rs:409-441) and a
+    special_tokens() method returning a dict (bindings/tokenizer.rs:285-289)."""
+    tok = trained_tokenizer()
+    tok.set_model_max_length(1024)
+    assert tok.model_max_length == 1024
+    tok.set_padding_side("left")
+    assert tok.padding_side == "left"
+    tok.set_truncation_side("left")
+    assert tok.truncation_side == "left"
+    tok.set_chat_template("{{messages}}")
+    assert tok.chat_template == "{{messages}}"
+    tok.set_chat_template(None)
+    assert tok.chat_template is None
+    # both attribute-style (mapping) and reference call-style access work
+    assert isinstance(tok.special_tokens, dict)
+    assert tok.special_tokens() == dict(tok.special_tokens)
