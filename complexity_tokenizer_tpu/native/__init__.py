@@ -14,7 +14,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["load_library", "NativeEncoder", "native_pack", "available"]
+__all__ = ["load_library", "NativeEncoder", "native_pack", "match_any", "available"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ctok_host.cpp")
@@ -25,17 +25,26 @@ _tried = False
 
 
 def _build() -> bool:
+    # -march=native unlocks SIMD memcmp/memmem and wider byte loops; fall
+    # back to baseline -O3 where it is unsupported (build is per-machine,
+    # on first use, so there is no distribution concern).
+    flag_sets = (
+        ["-O3", "-march=native", "-funroll-loops"],
+        ["-O3"],
+    )
     for cxx in ("g++", "c++", "clang++"):
-        try:
-            subprocess.run(
-                [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return True
-        except (OSError, subprocess.SubprocessError):
-            continue
+        for flags in flag_sets:
+            try:
+                subprocess.run(
+                    [cxx, *flags, "-shared", "-fPIC", "-std=c++17", _SRC,
+                     "-o", _LIB_PATH],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                return True
+            except (OSError, subprocess.SubprocessError):
+                continue
     return False
 
 
@@ -88,6 +97,28 @@ def load_library():
             ctypes.c_int64,
             ctypes.c_void_p,
             ctypes.c_void_p,
+        ]
+        lib.ctok_match_any.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.ctok_encode_batch_gated.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
         ]
         lib.ctok_pack.argtypes = [
             ctypes.c_void_p,
@@ -172,7 +203,15 @@ class NativeEncoder:
         m = self._lib.ctok_encode(self._ctx, _ptr(buf), n, _ptr(out))
         return out[:m].tolist()
 
-    def _encode_batch_raw(self, data: list[bytes], n_threads: int | None):
+    def _encode_batch_raw(
+        self,
+        data: list[bytes],
+        n_threads: int | None,
+        gate_patterns: list[bytes] | None = None,
+    ):
+        """Returns (out, offsets, counts).  With ``gate_patterns``, texts
+        containing any pattern are skipped with count = -1 (fused
+        added-token gate, one pass over the corpus)."""
         n = len(data)
         if n_threads is None:
             n_threads = os.cpu_count() or 1
@@ -183,11 +222,34 @@ class NativeEncoder:
         out = np.empty(max(total, 1), np.int32)
         counts = np.zeros(n, np.int32)
         jb = np.frombuffer(joined, np.uint8) if joined else np.zeros(1, np.uint8)
-        self._lib.ctok_encode_batch(
-            self._ctx, _ptr(jb), _ptr(offsets), n, _ptr(out), _ptr(counts),
-            int(n_threads),
-        )
+        if gate_patterns:
+            pat_buf = b"".join(gate_patterns)
+            pat_offsets = np.zeros(len(gate_patterns) + 1, np.int64)
+            np.cumsum([len(p) for p in gate_patterns], out=pat_offsets[1:])
+            pb = np.frombuffer(pat_buf, np.uint8)
+            self._lib.ctok_encode_batch_gated(
+                self._ctx, _ptr(jb), _ptr(offsets), n, _ptr(pb),
+                _ptr(pat_offsets), len(gate_patterns), _ptr(out),
+                _ptr(counts), int(n_threads),
+            )
+        else:
+            self._lib.ctok_encode_batch(
+                self._ctx, _ptr(jb), _ptr(offsets), n, _ptr(out), _ptr(counts),
+                int(n_threads),
+            )
         return out, offsets, counts
+
+    def compact(self, out: np.ndarray, offsets: np.ndarray, counts: np.ndarray):
+        """Per-text id regions at byte offsets -> (flat int32, row_offsets
+        int64).  All counts must be >= 0."""
+        n = len(counts)
+        total_ids = int(counts.sum())
+        flat = np.empty(max(total_ids, 1), np.int32)
+        row_offsets = np.zeros(n + 1, np.int64)
+        self._lib.ctok_compact(
+            _ptr(out), _ptr(offsets), _ptr(counts), n, _ptr(flat), _ptr(row_offsets)
+        )
+        return flat[:total_ids], row_offsets
 
     def encode_batch(self, data: list[bytes], n_threads: int | None = None):
         """Batch encode with per-thread word caches; returns list of lists."""
@@ -207,13 +269,37 @@ class NativeEncoder:
         if n == 0:
             return np.zeros(0, np.int32), np.zeros(1, np.int64)
         out, offsets, counts = self._encode_batch_raw(data, n_threads)
-        total_ids = int(counts.sum())
-        flat = np.empty(max(total_ids, 1), np.int32)
-        row_offsets = np.zeros(n + 1, np.int64)
-        self._lib.ctok_compact(
-            _ptr(out), _ptr(offsets), _ptr(counts), n, _ptr(flat), _ptr(row_offsets)
-        )
-        return flat[:total_ids], row_offsets
+        return self.compact(out, offsets, counts)
+
+
+def match_any(data: list[bytes], patterns: list[bytes],
+              n_threads: int | None = None) -> np.ndarray | None:
+    """Per-text flags: True iff any pattern byte-string occurs in the text.
+
+    SIMD multi-pattern substring scan (native); None when the library is
+    unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(data)
+    flags = np.zeros(max(n, 1), np.uint8)
+    if n == 0 or not patterns:
+        return flags[:n].astype(bool)
+    joined = b"".join(data)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(d) for d in data], out=offsets[1:])
+    pat_buf = b"".join(patterns)
+    pat_offsets = np.zeros(len(patterns) + 1, np.int64)
+    np.cumsum([len(p) for p in patterns], out=pat_offsets[1:])
+    jb = np.frombuffer(joined, np.uint8) if joined else np.zeros(1, np.uint8)
+    pb = np.frombuffer(pat_buf, np.uint8) if pat_buf else np.zeros(1, np.uint8)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    lib.ctok_match_any(
+        _ptr(jb), _ptr(offsets), n, _ptr(pb), _ptr(pat_offsets),
+        len(patterns), _ptr(flags), int(n_threads),
+    )
+    return flags.astype(bool)
 
 
 def native_pack(data: list[bytes], L: int, B: int):

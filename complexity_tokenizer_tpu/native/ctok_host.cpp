@@ -347,6 +347,112 @@ void ctok_compact(const int32_t* src, const int64_t* offsets,
     dst_offsets[n_texts] = pos;
 }
 
+// Multi-pattern gate: grouped by first byte so the common no-match case is
+// one memchr sweep per distinct lead byte (SIMD, ~memory speed).  Used as
+// the added-token routing gate (a byte-level superset of the
+// orchestrator's added-token match, huggingface/mod.rs:616-692 — false
+// positives only cost a host-path encode, never a wrong result).
+struct PatternSet {
+    const uint8_t* buf;
+    const int64_t* offs;
+    // patterns grouped by first byte
+    std::vector<int32_t> by_first[256];
+    PatternSet(const uint8_t* pat_buf, const int64_t* pat_offsets,
+               int64_t n_pats)
+        : buf(pat_buf), offs(pat_offsets) {
+        for (int64_t p = 0; p < n_pats; ++p)
+            if (pat_offsets[p + 1] > pat_offsets[p])
+                by_first[pat_buf[pat_offsets[p]]].push_back((int32_t)p);
+    }
+    bool matches(const uint8_t* text, int64_t len) const {
+        for (int f = 0; f < 256; ++f) {
+            const auto& pats = by_first[f];
+            if (pats.empty()) continue;
+            const uint8_t* p = text;
+            const uint8_t* end = text + len;
+            while ((p = (const uint8_t*)memchr(p, f, end - p))) {
+                int64_t rem = end - p;
+                for (int32_t pi : pats) {
+                    int64_t pl = offs[pi + 1] - offs[pi];
+                    if (pl <= rem && memcmp(p, buf + offs[pi], pl) == 0)
+                        return true;
+                }
+                ++p;
+            }
+        }
+        return false;
+    }
+};
+
+void ctok_match_any(const uint8_t* joined, const int64_t* offsets,
+                    int64_t n_texts, const uint8_t* pat_buf,
+                    const int64_t* pat_offsets, int64_t n_pats,
+                    uint8_t* out_flags, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    if (n_texts < n_threads * 4) n_threads = 1;
+    PatternSet ps(pat_buf, pat_offsets, n_pats);
+    auto worker = [&](int tid) {
+        int64_t total = offsets[n_texts];
+        int64_t lo_b = total * tid / n_threads;
+        int64_t hi_b = total * (tid + 1) / n_threads;
+        for (int64_t i = 0; i < n_texts; ++i) {
+            int64_t a = offsets[i];
+            if (a < lo_b || a >= hi_b) continue;
+            out_flags[i] = ps.matches(joined + a, offsets[i + 1] - a) ? 1 : 0;
+        }
+    };
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
+    }
+}
+
+// Fused gate + encode: texts where an added-token pattern occurs get
+// out_counts[i] = -1 (caller routes them to the exact host matcher); all
+// others are encoded as in ctok_encode_batch.  One pass, one thread pool.
+void ctok_encode_batch_gated(void* p, const uint8_t* joined,
+                             const int64_t* offsets, int64_t n_texts,
+                             const uint8_t* pat_buf,
+                             const int64_t* pat_offsets, int64_t n_pats,
+                             int32_t* out, int32_t* out_counts,
+                             int32_t n_threads) {
+    Ctx* c = (Ctx*)p;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    if (n_texts < n_threads * 4) n_threads = 1;
+    PatternSet ps(pat_buf, pat_offsets, n_pats);
+    auto worker = [&](int tid) {
+        std::vector<int32_t> scratch;
+        scratch.reserve(64);
+        WordCache* cache = &c->caches[tid];
+        int64_t total = offsets[n_texts];
+        int64_t lo_b = total * tid / n_threads;
+        int64_t hi_b = total * (tid + 1) / n_threads;
+        for (int64_t i = 0; i < n_texts; ++i) {
+            int64_t a = offsets[i];
+            if (a < lo_b || a >= hi_b) continue;
+            int64_t len = offsets[i + 1] - a;
+            if (n_pats && ps.matches(joined + a, len)) {
+                out_counts[i] = -1;
+                continue;
+            }
+            out_counts[i] = (int32_t)encode_text(
+                c, cache, joined + a, len, out + a, scratch);
+        }
+    };
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
+    }
+}
+
 // Batch pack: joined byte buffer + offsets -> zero-padded [B, L] matrix.
 void ctok_pack(const uint8_t* joined, const int64_t* offsets, int64_t B,
                int64_t L, uint8_t* out, int32_t* lens) {

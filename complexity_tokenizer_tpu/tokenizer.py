@@ -380,54 +380,73 @@ class Tokenizer:
             self._native = None
         return self._native
 
-    def _added_token_checkers(self):
-        """(raw_tokens, encoded_check_tokens): raw substring checks plus,
-        for tokens containing non-self-mapping alphabet chars, checks
-        against the byte-level-encoded text."""
-        cached = getattr(self, "_added_checkers_cache", None)
+    def _added_byte_patterns(self) -> list[bytes]:
+        """Byte patterns whose presence in a text's (prefix-space-applied)
+        UTF-8 bytes is a superset of any possible added-token match.
+
+        Two patterns per token: its raw UTF-8 bytes (covers tokens written
+        in raw form) and its byte-level-alphabet inverse decode (covers
+        tokens written in encoded form, e.g. "Ġhello" matching " hello" —
+        the reference matches added tokens against the *encoded* words,
+        huggingface/mod.rs:566-609).  The alphabet map is a per-byte
+        bijection, so `t in encode_bytes(B)` ⟺ `inverse(t) in B`; tokens
+        with chars outside the alphabet can never match encoded text and
+        need no inverse pattern."""
+        cached = getattr(self, "_added_patterns_cache", None)
         if cached is not None and cached[0] == len(self.added_tokens):
-            return cached[1], cached[2]
-        raw = list(self.added_tokens.keys())
-        # encoded-text check needed only for tokens with non-ASCII chars:
-        # the byte-level encoded text consists of alphabet chars, and the
-        # ASCII-printable subset of the alphabet maps to itself
-        need_encoded = [t for t in raw if any(ord(c) >= 128 for c in t)]
-        self._added_checkers_cache = (len(self.added_tokens), raw, need_encoded)
-        return raw, need_encoded
+            return cached[1]
+        from .utils.bytelevel import unicode_to_bytes
+
+        inv = unicode_to_bytes()
+        pats: set[bytes] = set()
+        for t in self.added_tokens:
+            pats.add(t.encode("utf-8"))
+            if any(ord(c) >= 128 for c in t):
+                try:
+                    pats.add(bytes(inv[c] for c in t))
+                except KeyError:
+                    pass
+        out = sorted(pats)
+        self._added_patterns_cache = (len(self.added_tokens), out)
+        return out
+
+    def _added_route_flags(self, data: list[bytes]):
+        """Per-text routing flags over the exact bytes to be encoded:
+        True = an added token may match (host path).  None = no added
+        tokens at all.  Uses the native SIMD multi-pattern scanner when
+        available."""
+        if not self.added_tokens:
+            return None
+        pats = self._added_byte_patterns()
+        from .native import match_any
+
+        flags = match_any(data, pats)
+        if flags is not None:
+            return flags
+        import numpy as np
+
+        return np.array([any(p in d for p in pats) for d in data], bool)
 
     def _text_fastpath_eligible(self, normalized_text: str) -> bool:
         """True if no added token can match anywhere in this text."""
         if not self.added_tokens:
             return True
-        raw, need_encoded = self._added_token_checkers()
-        if any(t in normalized_text for t in raw):
-            return False
-        if need_encoded:
-            from .utils.bytelevel import encode_bytes
+        data = self._prepare_bytes([normalized_text])
+        return not bool(self._added_route_flags(data)[0])
 
-            enc_text = encode_bytes(normalized_text.encode("utf-8"))
-            if any(t in enc_text for t in need_encoded):
-                return False
-        return True
+    def _prepare_bytes(self, normalized: list[str]) -> list[bytes]:
+        """Normalized texts -> the exact UTF-8 byte strings the fast tiers
+        encode (ByteLevel add_prefix_space applied)."""
+        from .core.pretokenizers import ByteLevel as _BL
 
-    def _batch_fastpath_eligible(self, normalized_texts) -> bool:
-        """Whole-batch gate: one substring scan over the joined corpus
-        (texts are newline-joined; a token containing a newline could
-        false-positive across boundaries, which only costs a per-text
-        recheck, never a wrong result)."""
-        if not self.added_tokens:
-            return True
-        raw, need_encoded = self._added_token_checkers()
-        joined = "\n".join(normalized_texts)
-        if any(t in joined for t in raw):
-            return False
-        if need_encoded:
-            from .utils.bytelevel import encode_bytes
-
-            enc = encode_bytes(joined.encode("utf-8"))
-            if any(t in enc for t in need_encoded):
-                return False
-        return True
+        pt = self.pre_tokenizer
+        aps = isinstance(pt, _BL) and pt.add_prefix_space
+        out = []
+        for t in normalized:
+            if aps and t and not t.startswith(" "):
+                t = " " + t
+            out.append(t.encode("utf-8"))
+        return out
 
     def _normalize_batch(self, texts):
         norm = self.normalizer
@@ -449,49 +468,49 @@ class Tokenizer:
         pipeline), "native", or "host" (pure-Python oracle)."""
         backend = backend or self.encode_backend
         normalized = self._normalize_batch(texts)
+        n = len(normalized)
+        out: list[list[int] | None] = [None] * n
 
-        if self._batch_fastpath_eligible(normalized):
-            fast_idx: list[int] = list(range(len(normalized)))
-            slow_idx: list[int] = []
-        else:
-            fast_idx, slow_idx = [], []
-            for i, t in enumerate(normalized):
-                (fast_idx if self._text_fastpath_eligible(t) else slow_idx).append(i)
-        out: list[list[int] | None] = [None] * len(texts)
-
-        runner = None
         if backend in ("auto", "native"):
             native = self._get_native_encoder()
             if native is not None:
-                from .core.pretokenizers import ByteLevel as _BL
+                data = self._prepare_bytes(normalized)
+                pats = self._added_byte_patterns() if self.added_tokens else None
+                raw, offsets, counts = native._encode_batch_raw(data, None, pats)
+                for i in range(n):
+                    c = int(counts[i])
+                    if c >= 0:
+                        a = int(offsets[i])
+                        out[i] = raw[a : a + c].tolist()
+                    else:  # added-token candidate: exact host matcher
+                        out[i] = self._encode_host(
+                            normalized[i], already_normalized=True
+                        )
+                return out  # type: ignore[return-value]
 
-                pt = self.pre_tokenizer
-                aps = isinstance(pt, _BL) and pt.add_prefix_space
-
-                def native_run(idxs):
-                    data = []
-                    for i in idxs:
-                        t = normalized[i]
-                        if aps and t and not t.startswith(" "):
-                            t = " " + t
-                        data.append(t.encode("utf-8"))
-                    return native.encode_batch(data)
-
-                runner = native_run
-        if runner is None and backend in ("auto", "device"):
+        if backend in ("auto", "device"):
             pipeline = self._get_pipeline()
             if pipeline is not None:
-                runner = lambda idxs: pipeline.encode_batch(
-                    [normalized[i] for i in idxs], already_normalized=True
-                )
+                data = self._prepare_bytes(normalized)
+                flags = self._added_route_flags(data)
+                fast_idx = [
+                    i for i in range(n) if flags is None or not flags[i]
+                ]
+                if fast_idx:
+                    encoded = pipeline.encode_batch(
+                        [normalized[i] for i in fast_idx],
+                        already_normalized=True,
+                    )
+                    for i, ids in zip(fast_idx, encoded):
+                        out[i] = ids
+                for i in range(n):
+                    if out[i] is None:
+                        out[i] = self._encode_host(
+                            normalized[i], already_normalized=True
+                        )
+                return out  # type: ignore[return-value]
 
-        if runner is not None and fast_idx:
-            for i, ids in zip(fast_idx, runner(fast_idx)):
-                out[i] = ids
-        elif fast_idx:
-            slow_idx = fast_idx + slow_idx
-
-        for i in slow_idx:
+        for i in range(n):
             out[i] = self._encode_host(normalized[i], already_normalized=True)
         return out  # type: ignore[return-value]
 
@@ -507,17 +526,37 @@ class Tokenizer:
 
         normalized = self._normalize_batch(texts)
         native = self._get_native_encoder()
-        if native is not None and self._batch_fastpath_eligible(normalized):
-            from .core.pretokenizers import ByteLevel as _BL
-
-            pt = self.pre_tokenizer
-            aps = isinstance(pt, _BL) and pt.add_prefix_space
-            data = []
-            for t in normalized:
-                if aps and t and not t.startswith(" "):
-                    t = " " + t
-                data.append(t.encode("utf-8"))
-            return native.encode_batch_ragged(data)
+        if native is not None:
+            n = len(normalized)
+            data = self._prepare_bytes(normalized)
+            pats = self._added_byte_patterns() if self.added_tokens else None
+            raw, offsets, counts = native._encode_batch_raw(data, None, pats)
+            if n == 0 or counts.min() >= 0:
+                return native.compact(raw, offsets, counts)
+            # rare: splice host-encoded added-token rows into the flat output
+            parts: list[np.ndarray] = []
+            for i in range(n):
+                c = int(counts[i])
+                if c >= 0:
+                    a = int(offsets[i])
+                    parts.append(raw[a : a + c])
+                else:
+                    parts.append(
+                        np.asarray(
+                            self._encode_host(
+                                normalized[i], already_normalized=True
+                            ),
+                            np.int32,
+                        )
+                    )
+            row_offsets = np.zeros(n + 1, np.int64)
+            np.cumsum([len(p) for p in parts], out=row_offsets[1:])
+            flat = (
+                np.concatenate(parts)
+                if row_offsets[-1]
+                else np.zeros(0, np.int32)
+            )
+            return flat, row_offsets
         rows = self.encode_batch(texts)
         offsets = np.zeros(len(rows) + 1, np.int64)
         np.cumsum([len(r) for r in rows], out=offsets[1:])
