@@ -24,14 +24,33 @@ _lib = None
 _tried = False
 
 
+def _python_include() -> str | None:
+    import sysconfig
+
+    inc = sysconfig.get_paths().get("include")
+    if inc and os.path.exists(os.path.join(inc, "Python.h")):
+        return inc
+    return None
+
+
 def _build() -> bool:
     # -march=native unlocks SIMD memcmp/memmem and wider byte loops; fall
     # back to baseline -O3 where it is unsupported (build is per-machine,
-    # on first use, so there is no distribution concern).
-    flag_sets = (
-        ["-O3", "-march=native", "-funroll-loops"],
-        ["-O3"],
-    )
+    # on first use, so there is no distribution concern).  When Python.h
+    # is available the same .so additionally exports a CPython extension
+    # module (_ctok_ext) with the fused batch-prep entry point; Python
+    # symbols stay undefined and resolve against the running interpreter,
+    # so a plain build is retried if that load fails.
+    flag_sets = []
+    inc = _python_include()
+    if inc:
+        flag_sets.append(
+            ["-O3", "-march=native", "-funroll-loops",
+             "-DCTOK_WITH_PYTHON", f"-I{inc}"]
+        )
+        flag_sets.append(["-O3", "-DCTOK_WITH_PYTHON", f"-I{inc}"])
+    flag_sets.append(["-O3", "-march=native", "-funroll-loops"])
+    flag_sets.append(["-O3"])
     for cxx in ("g++", "c++", "clang++"):
         for flags in flag_sets:
             try:
@@ -42,8 +61,12 @@ def _build() -> bool:
                     capture_output=True,
                     timeout=120,
                 )
-                return True
             except (OSError, subprocess.SubprocessError):
+                continue
+            try:
+                ctypes.CDLL(_LIB_PATH)
+                return True
+            except OSError:
                 continue
     return False
 
@@ -130,6 +153,38 @@ def load_library():
         ]
         _lib = lib
         return _lib
+
+
+_ext = None
+_ext_tried = False
+
+
+def load_ext():
+    """The CPython extension view of the native library (fused batch
+    entry points), or None when unavailable."""
+    global _ext, _ext_tried
+    with _lock:
+        if _ext is not None or _ext_tried:
+            return _ext
+        _ext_tried = True
+    if load_library() is None:
+        return None
+    try:
+        import importlib.util
+        from importlib.machinery import ExtensionFileLoader
+
+        loader = ExtensionFileLoader("_ctok_ext", _LIB_PATH)
+        spec = importlib.util.spec_from_file_location(
+            "_ctok_ext", _LIB_PATH, loader=loader
+        )
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        ext = mod if hasattr(mod, "encode_ragged") else None
+    except Exception:
+        ext = None
+    with _lock:
+        _ext = ext
+    return ext
 
 
 def available() -> bool:
@@ -261,6 +316,33 @@ class NativeEncoder:
             a = int(offsets[i])
             results.append(out[a : a + int(counts[i])].tolist())
         return results
+
+    def encode_ragged_fused(
+        self,
+        texts: list[str],
+        add_prefix_space: bool,
+        patterns: list[bytes] | None,
+        n_threads: int | None = None,
+    ):
+        """Fully-fused batch encode from Python strings: UTF-8 access via
+        the unicode objects' cached buffers, prefix space, corpus join,
+        added-token gate, encode and ragged compaction all in one native
+        call.  Returns (flat int32, row_offsets int64, flagged_indices or
+        None) — flagged rows are empty in the output and must be
+        host-encoded and spliced by the caller.  None when the extension
+        surface is unavailable."""
+        ext = load_ext()
+        if ext is None:
+            return None
+        if n_threads is None:
+            n_threads = os.cpu_count() or 1
+        flat_b, off_b, flagged = ext.encode_ragged(
+            self._ctx, texts, int(bool(add_prefix_space)), patterns or [],
+            int(n_threads),
+        )
+        flat = np.frombuffer(flat_b, np.int32)
+        offs = np.frombuffer(off_b, np.int64)
+        return flat, offs, flagged
 
     def encode_batch_ragged(self, data: list[bytes], n_threads: int | None = None):
         """(flat_ids int32 [total], row_offsets int64 [n+1]) — zero-copy

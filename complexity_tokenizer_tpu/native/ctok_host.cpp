@@ -14,8 +14,14 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <memory>
 #include <unordered_map>
 #include <vector>
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#define CTOK_SSE2 1
+#endif
 
 namespace {
 
@@ -98,6 +104,74 @@ struct WordCache {
 constexpr int kMaxThreads = 16;
 constexpr int64_t kMaxCachedWord = 256;
 
+// Short-word cache: GPT-2 pre-split words are Zipf-distributed and mostly
+// <= 8 bytes (leading space included), so the common hit is a single
+// 16-byte-slot probe — key bytes inline as a zero-padded u64, ids in an
+// arena.  len == 0 marks an empty slot (a real key has len >= 1).
+struct ShortCache {
+    struct Slot {
+        uint64_t key;
+        uint32_t ids_off;
+        uint8_t ids_len;
+        uint8_t len;
+        uint16_t _pad;
+    };
+    std::vector<Slot> slots;
+    uint64_t mask = 0;
+    size_t count = 0;
+    std::vector<int32_t> ids_arena;
+
+    static inline uint64_t mix(uint64_t k, uint64_t len) {
+        uint64_t h = k ^ (len * 0x9E3779B97F4A7C15ull);
+        h *= 0xBF58476D1CE4E5B9ull;
+        h ^= h >> 31;
+        return h;
+    }
+
+    void grow() {
+        size_t cap = slots.empty() ? 8192 : slots.size() * 2;
+        std::vector<Slot> ns(cap);
+        uint64_t m = cap - 1;
+        for (const Slot& s : slots) {
+            if (!s.len) continue;
+            uint64_t h = mix(s.key, s.len) & m;
+            while (ns[h].len) h = (h + 1) & m;
+            ns[h] = s;
+        }
+        slots.swap(ns);
+        mask = m;
+    }
+
+    // returns ids count on hit (ids copied to out), -1 on miss
+    inline int64_t lookup(uint64_t k, uint8_t len, int32_t* out) const {
+        uint64_t h = mix(k, len) & mask;
+        for (;;) {
+            const Slot& s = slots[h];
+            if (!s.len) return -1;
+            if (s.key == k && s.len == len) {
+                std::memcpy(out, ids_arena.data() + s.ids_off,
+                            (size_t)s.ids_len * sizeof(int32_t));
+                return s.ids_len;
+            }
+            h = (h + 1) & mask;
+        }
+    }
+
+    inline void insert(uint64_t k, uint8_t len, const int32_t* ids,
+                       int64_t n_ids) {
+        if ((count + 1) * 2 >= slots.size()) grow();
+        uint64_t h = mix(k, len) & mask;
+        while (slots[h].len) h = (h + 1) & mask;
+        Slot& s = slots[h];
+        s.key = k;
+        s.len = len;
+        s.ids_len = (uint8_t)n_ids;
+        s.ids_off = (uint32_t)ids_arena.size();
+        ids_arena.insert(ids_arena.end(), ids, ids + n_ids);
+        ++count;
+    }
+};
+
 struct Ctx {
     std::unordered_map<PairKey, int32_t, PairKeyHash> ranks;
     std::vector<int32_t> rank_new;  // rank -> minted id (-1 gaps)
@@ -106,7 +180,11 @@ struct Ctx {
     const uint8_t* cls_table;  // borrowed; caller keeps alive
     int64_t cls_size;
     uint8_t ascii_cls[128];  // fast path for ASCII bytes
+    // true when ascii_cls matches the canonical GPT-2 ASCII classes, so
+    // the SIMD run scanner's range checks are exact (validated at init)
+    bool simd_ascii;
     WordCache caches[kMaxThreads];
+    ShortCache short_caches[kMaxThreads];
 };
 
 inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
@@ -128,6 +206,47 @@ inline int cls_of(const Ctx* c, uint32_t cp) {
 }
 
 constexpr int CL_OTHER = 0, CL_WS = 1, CL_LETTER = 2, CL_NUMBER = 3, CL_NONE = 4;
+
+#ifdef CTOK_SSE2
+// 16-bit mask of positions where an ASCII class run stops: the byte is
+// non-ASCII or its class != run_cls.  Exact for the canonical GPT-2 ASCII
+// classes (ws = 0x09-0x0D + 0x20, letters A-Za-z, digits 0-9); callers
+// gate on Ctx::simd_ascii.
+inline uint32_t run_stop_mask16(const uint8_t* p, int run_cls) {
+    __m128i v = _mm_loadu_si128((const __m128i*)p);
+    __m128i zero = _mm_setzero_si128();
+    __m128i ascii = _mm_cmpgt_epi8(v, _mm_set1_epi8(-1));  // 0x00-0x7F
+    __m128i eq;
+    if (run_cls == CL_LETTER) {
+        __m128i lower = _mm_or_si128(v, _mm_set1_epi8(0x20));
+        __m128i t = _mm_sub_epi8(lower, _mm_set1_epi8('a'));
+        eq = _mm_cmpeq_epi8(_mm_subs_epu8(t, _mm_set1_epi8(25)), zero);
+    } else if (run_cls == CL_NUMBER) {
+        __m128i t = _mm_sub_epi8(v, _mm_set1_epi8('0'));
+        eq = _mm_cmpeq_epi8(_mm_subs_epu8(t, _mm_set1_epi8(9)), zero);
+    } else if (run_cls == CL_WS) {
+        __m128i t = _mm_sub_epi8(v, _mm_set1_epi8(9));
+        __m128i r = _mm_cmpeq_epi8(_mm_subs_epu8(t, _mm_set1_epi8(4)), zero);
+        eq = _mm_or_si128(r, _mm_cmpeq_epi8(v, _mm_set1_epi8(' ')));
+    } else {  // CL_OTHER: ASCII and none of the above
+        __m128i lower = _mm_or_si128(v, _mm_set1_epi8(0x20));
+        __m128i tl = _mm_sub_epi8(lower, _mm_set1_epi8('a'));
+        __m128i letter =
+            _mm_cmpeq_epi8(_mm_subs_epu8(tl, _mm_set1_epi8(25)), zero);
+        __m128i tn = _mm_sub_epi8(v, _mm_set1_epi8('0'));
+        __m128i number =
+            _mm_cmpeq_epi8(_mm_subs_epu8(tn, _mm_set1_epi8(9)), zero);
+        __m128i tw = _mm_sub_epi8(v, _mm_set1_epi8(9));
+        __m128i ws =
+            _mm_or_si128(_mm_cmpeq_epi8(_mm_subs_epu8(tw, _mm_set1_epi8(4)), zero),
+                         _mm_cmpeq_epi8(v, _mm_set1_epi8(' ')));
+        eq = _mm_andnot_si128(_mm_or_si128(_mm_or_si128(letter, number), ws),
+                              ascii);
+    }
+    __m128i cont = _mm_and_si128(eq, ascii);
+    return (~(uint32_t)_mm_movemask_epi8(cont)) & 0xFFFFu;
+}
+#endif
 
 // Decode the codepoint whose lead byte is at data[i]; returns byte length.
 inline int decode_cp(const uint8_t* data, int64_t n, int64_t i, uint32_t* cp) {
@@ -182,14 +301,49 @@ inline int cls_at(const Ctx* c, const uint8_t* data, int64_t n, int64_t i,
     return cls_of(c, cp);
 }
 
-// Encode one word's bytes into out; returns count.  Uses the cache when
-// provided and the word is small enough.
-inline int64_t encode_word(const Ctx* c, WordCache* cache, const uint8_t* data,
-                           int64_t start, int64_t end, int32_t* out,
-                           std::vector<int32_t>& scratch) {
+// Extend a class run: first position >= end whose char class differs from
+// run_cls.  SIMD sweeps 16 ASCII bytes per step; non-ASCII chars and the
+// tail fall back to the scalar table walk.
+inline int64_t extend_run(const Ctx* c, const uint8_t* data, int64_t n,
+                          int64_t end, int run_cls) {
+    for (;;) {
+#ifdef CTOK_SSE2
+        if (c->simd_ascii) {
+            while (n - end >= 16) {
+                uint32_t stop = run_stop_mask16(data + end, run_cls);
+                if (stop) {
+                    end += (int)__builtin_ctz(stop);
+                    break;
+                }
+                end += 16;
+            }
+        }
+#endif
+        if (end >= n) return end;
+        int lr;
+        if (cls_at(c, data, n, end, &lr) != run_cls) return end;
+        end += lr;
+    }
+}
+
+// Encode one word's bytes into out; returns count.  Words <= 8 bytes hit
+// the inline-key ShortCache (single 16-byte-slot probe); longer cacheable
+// words use the arena-backed WordCache.
+inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
+                           const uint8_t* data, int64_t start, int64_t end,
+                           int32_t* out, std::vector<int32_t>& scratch) {
     int64_t wlen = end - start;
+    uint64_t k8 = 0;
     uint64_t h = 0;
-    if (cache && wlen <= kMaxCachedWord) {
+    bool is_short = sc && wlen > 0 && wlen <= 8;
+    if (is_short) {
+        std::memcpy(&k8, data + start, (size_t)wlen);
+        if (wlen < 8) k8 &= (~0ull) >> ((8 - wlen) * 8);
+        if (!sc->slots.empty()) {
+            int64_t n = sc->lookup(k8, (uint8_t)wlen, out);
+            if (n >= 0) return n;
+        }
+    } else if (cache && wlen <= kMaxCachedWord) {
         h = fnv1a(data + start, wlen);
         int64_t ei = cache->find(h, data + start, wlen);
         if (ei >= 0) {
@@ -206,7 +360,9 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, const uint8_t* data,
     }
     if (!scratch.empty()) merge_word(c, scratch);
     for (size_t i = 0; i < scratch.size(); ++i) out[i] = scratch[i];
-    if (cache && wlen <= kMaxCachedWord) {
+    if (is_short) {
+        sc->insert(k8, (uint8_t)wlen, scratch.data(), (int64_t)scratch.size());
+    } else if (cache && wlen <= kMaxCachedWord) {
         cache->insert(h, data + start, wlen, scratch.data(),
                       (int64_t)scratch.size());
     }
@@ -215,7 +371,8 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, const uint8_t* data,
 
 // Scan [data, data+n) emitting GPT-2 simplified matches; for each word call
 // encode_word.  Returns total ids written.
-inline int64_t encode_text(const Ctx* c, WordCache* cache, const uint8_t* data,
+inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
+                           const uint8_t* data,
                            int64_t n, int32_t* out,
                            std::vector<int32_t>& scratch) {
     if (n <= 0) return 0;
@@ -251,13 +408,9 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, const uint8_t* data,
             }
             if (run_cls == CL_WS) end = i;
             else end = j;
-            while (end < n) {
-                int lr;
-                if (cls_at(c, data, n, end, &lr) != run_cls) break;
-                end += lr;
-            }
+            end = extend_run(c, data, n, end, run_cls);
         }
-        n_out += encode_word(c, cache, data, start, end, out + n_out, scratch);
+        n_out += encode_word(c, cache, sc, data, start, end, out + n_out, scratch);
         i = end;
     }
     return n_out;
@@ -280,6 +433,15 @@ void* ctok_new(int64_t n_pairs, const int32_t* pa, const int32_t* pb,
     c->cls_table = cls_table;
     c->cls_size = cls_size;
     for (int i = 0; i < 128 && i < cls_size; ++i) c->ascii_cls[i] = cls_table[i];
+    c->simd_ascii = cls_size >= 128;
+    for (int b = 0; b < 128 && c->simd_ascii; ++b) {
+        int expected;
+        if ((b >= 9 && b <= 13) || b == 32) expected = CL_WS;
+        else if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) expected = CL_LETTER;
+        else if (b >= '0' && b <= '9') expected = CL_NUMBER;
+        else expected = CL_OTHER;
+        if ((int)c->ascii_cls[b] != expected) c->simd_ascii = false;
+    }
     return c;
 }
 
@@ -292,7 +454,7 @@ int64_t ctok_encode(void* p, const uint8_t* data, int64_t n, int32_t* out) {
     Ctx* c = (Ctx*)p;
     std::vector<int32_t> scratch;
     scratch.reserve(64);
-    return encode_text(c, &c->caches[0], data, n, out, scratch);
+    return encode_text(c, &c->caches[0], &c->short_caches[0], data, n, out, scratch);
 }
 
 // Batch encode with per-thread word caches.  ``joined`` holds all texts
@@ -311,6 +473,7 @@ void ctok_encode_batch(void* p, const uint8_t* joined, const int64_t* offsets,
         std::vector<int32_t> scratch;
         scratch.reserve(64);
         WordCache* cache = &c->caches[tid];
+        ShortCache* sc = &c->short_caches[tid];
         // balanced partition by byte volume
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
@@ -320,7 +483,7 @@ void ctok_encode_batch(void* p, const uint8_t* joined, const int64_t* offsets,
             if (a < lo_b || a >= hi_b) continue;
             int64_t b = offsets[i + 1];
             out_counts[i] = (int32_t)encode_text(
-                c, cache, joined + a, b - a, out + a, scratch);
+                c, cache, sc, joined + a, b - a, out + a, scratch);
         }
     };
     if (n_threads == 1) {
@@ -429,6 +592,7 @@ void ctok_encode_batch_gated(void* p, const uint8_t* joined,
         std::vector<int32_t> scratch;
         scratch.reserve(64);
         WordCache* cache = &c->caches[tid];
+        ShortCache* sc = &c->short_caches[tid];
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
         int64_t hi_b = total * (tid + 1) / n_threads;
@@ -441,7 +605,7 @@ void ctok_encode_batch_gated(void* p, const uint8_t* joined,
                 continue;
             }
             out_counts[i] = (int32_t)encode_text(
-                c, cache, joined + a, len, out + a, scratch);
+                c, cache, sc, joined + a, len, out + a, scratch);
         }
     };
     if (n_threads == 1) {
@@ -467,3 +631,152 @@ void ctok_pack(const uint8_t* joined, const int64_t* offsets, int64_t B,
 }
 
 }  // extern "C"
+
+#ifdef CTOK_WITH_PYTHON
+// ---------------------------------------------------------------------------
+// Optional CPython extension surface (same .so doubles as ctypes library and
+// importable module).  Fuses the whole Python-side batch prep — UTF-8 access
+// via the unicode object's cached buffer, prefix-space handling, corpus
+// join, offsets, added-token gate, encode, ragged compaction — into one
+// call with the GIL released around the multithreaded encode.
+// ---------------------------------------------------------------------------
+#include <Python.h>
+
+static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
+    unsigned long long addr;
+    PyObject* texts_obj;
+    int aps;
+    PyObject* pats_obj;
+    int n_threads;
+    if (!PyArg_ParseTuple(args, "KOiOi", &addr, &texts_obj, &aps, &pats_obj,
+                          &n_threads))
+        return nullptr;
+    Ctx* c = (Ctx*)(uintptr_t)addr;
+
+    PyObject* seq = PySequence_Fast(texts_obj, "texts must be a sequence");
+    if (!seq) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    std::vector<const char*> ptrs((size_t)n);
+    std::vector<Py_ssize_t> szs((size_t)n);
+    std::vector<uint8_t> pre((size_t)n);
+    int64_t total = 0;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        PyObject* t = PySequence_Fast_GET_ITEM(seq, i);
+        Py_ssize_t sz;
+        const char* u = PyUnicode_AsUTF8AndSize(t, &sz);
+        if (!u) {
+            Py_DECREF(seq);
+            return nullptr;
+        }
+        ptrs[i] = u;
+        szs[i] = sz;
+        pre[i] = (uint8_t)(aps && sz > 0 && u[0] != ' ');
+        total += sz + pre[i];
+    }
+
+    // patterns: sequence of bytes objects (may be empty)
+    PyObject* pats_seq = PySequence_Fast(pats_obj, "patterns must be a sequence");
+    if (!pats_seq) {
+        Py_DECREF(seq);
+        return nullptr;
+    }
+    Py_ssize_t n_pats = PySequence_Fast_GET_SIZE(pats_seq);
+    std::vector<uint8_t> pat_buf;
+    std::vector<int64_t> pat_offsets((size_t)n_pats + 1, 0);
+    for (Py_ssize_t p = 0; p < n_pats; ++p) {
+        char* pb;
+        Py_ssize_t pl;
+        if (PyBytes_AsStringAndSize(PySequence_Fast_GET_ITEM(pats_seq, p),
+                                    &pb, &pl) < 0) {
+            Py_DECREF(seq);
+            Py_DECREF(pats_seq);
+            return nullptr;
+        }
+        pat_buf.insert(pat_buf.end(), (uint8_t*)pb, (uint8_t*)pb + pl);
+        pat_offsets[(size_t)p + 1] = (int64_t)pat_buf.size();
+    }
+
+    // uninitialized buffers: every byte is overwritten (joined) or only
+    // read up to counts (out), and zero-filling 4 bytes/input byte would
+    // cost more than the scan itself
+    std::unique_ptr<uint8_t[]> joined(new uint8_t[(size_t)(total > 0 ? total : 1)]);
+    std::vector<int64_t> offsets((size_t)n + 1, 0);
+    {
+        int64_t pos = 0;
+        for (Py_ssize_t i = 0; i < n; ++i) {
+            if (pre[i]) joined[(size_t)pos++] = ' ';
+            std::memcpy(joined.get() + pos, ptrs[i], (size_t)szs[i]);
+            pos += szs[i];
+            offsets[(size_t)i + 1] = pos;
+        }
+    }
+    Py_DECREF(pats_seq);
+    Py_DECREF(seq);
+
+    std::unique_ptr<int32_t[]> out(new int32_t[(size_t)(total > 0 ? total : 1)]);
+    std::vector<int32_t> counts((size_t)(n > 0 ? n : 1), 0);
+    Py_BEGIN_ALLOW_THREADS
+    if (n_pats) {
+        ctok_encode_batch_gated(c, joined.get(), offsets.data(), n,
+                                pat_buf.data(), pat_offsets.data(), n_pats,
+                                out.get(), counts.data(), n_threads);
+    } else {
+        ctok_encode_batch(c, joined.get(), offsets.data(), n, out.get(),
+                          counts.data(), n_threads);
+    }
+    Py_END_ALLOW_THREADS
+
+    // flagged rows (count == -1) are compacted as empty; the caller
+    // host-encodes and splices them (rare)
+    PyObject* flagged = nullptr;
+    int64_t total_ids = 0;
+    for (Py_ssize_t i = 0; i < n; ++i)
+        if (counts[(size_t)i] > 0) total_ids += counts[(size_t)i];
+    PyObject* flat_b =
+        PyByteArray_FromStringAndSize(nullptr, total_ids * (Py_ssize_t)sizeof(int32_t));
+    PyObject* off_b = PyByteArray_FromStringAndSize(
+        nullptr, (n + 1) * (Py_ssize_t)sizeof(int64_t));
+    if (!flat_b || !off_b) {
+        Py_XDECREF(flat_b);
+        Py_XDECREF(off_b);
+        return nullptr;
+    }
+    int32_t* flat = (int32_t*)PyByteArray_AS_STRING(flat_b);
+    int64_t* row_off = (int64_t*)PyByteArray_AS_STRING(off_b);
+    int64_t pos = 0;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        row_off[i] = pos;
+        int32_t cnt = counts[(size_t)i];
+        if (cnt > 0) {
+            std::memcpy(flat + pos, out.get() + offsets[(size_t)i],
+                        (size_t)cnt * sizeof(int32_t));
+            pos += cnt;
+        } else if (cnt < 0) {
+            if (!flagged) flagged = PyList_New(0);
+            PyObject* idx = PyLong_FromSsize_t(i);
+            PyList_Append(flagged, idx);
+            Py_DECREF(idx);
+        }
+    }
+    row_off[n] = pos;
+    if (!flagged) {
+        flagged = Py_None;
+        Py_INCREF(Py_None);
+    }
+    return Py_BuildValue("(NNN)", flat_b, off_b, flagged);
+}
+
+static PyMethodDef CtokExtMethods[] = {
+    {"encode_ragged", ctok_py_encode_ragged, METH_VARARGS,
+     "encode_ragged(ctx, texts, add_prefix_space, patterns, n_threads) -> "
+     "(flat_ids bytearray, row_offsets bytearray, flagged indices or None)"},
+    {nullptr, nullptr, 0, nullptr}};
+
+static struct PyModuleDef ctok_ext_module = {
+    PyModuleDef_HEAD_INIT, "_ctok_ext", nullptr, -1, CtokExtMethods,
+    nullptr, nullptr, nullptr, nullptr};
+
+extern "C" PyObject* PyInit__ctok_ext(void) {
+    return PyModule_Create(&ctok_ext_module);
+}
+#endif  // CTOK_WITH_PYTHON

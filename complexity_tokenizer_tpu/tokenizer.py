@@ -434,13 +434,16 @@ class Tokenizer:
         data = self._prepare_bytes([normalized_text])
         return not bool(self._added_route_flags(data)[0])
 
-    def _prepare_bytes(self, normalized: list[str]) -> list[bytes]:
-        """Normalized texts -> the exact UTF-8 byte strings the fast tiers
-        encode (ByteLevel add_prefix_space applied)."""
+    def _byte_level_prefix_space(self) -> bool:
         from .core.pretokenizers import ByteLevel as _BL
 
         pt = self.pre_tokenizer
-        aps = isinstance(pt, _BL) and pt.add_prefix_space
+        return isinstance(pt, _BL) and pt.add_prefix_space
+
+    def _prepare_bytes(self, normalized: list[str]) -> list[bytes]:
+        """Normalized texts -> the exact UTF-8 byte strings the fast tiers
+        encode (ByteLevel add_prefix_space applied)."""
+        aps = self._byte_level_prefix_space()
         out = []
         for t in normalized:
             if aps and t and not t.startswith(" "):
@@ -528,13 +531,41 @@ class Tokenizer:
         native = self._get_native_encoder()
         if native is not None:
             n = len(normalized)
-            data = self._prepare_bytes(normalized)
             pats = self._added_byte_patterns() if self.added_tokens else None
+            aps = self._byte_level_prefix_space()
+            fused = native.encode_ragged_fused(normalized, aps, pats)
+            if fused is not None:
+                flat, row_offsets, flagged = fused
+                if not flagged:
+                    return flat, row_offsets
+                # rare: splice host-encoded added-token rows (empty in the
+                # fused output) into the flat stream
+                flagged_set = set(flagged)
+                parts = [
+                    flat[row_offsets[i] : row_offsets[i + 1]]
+                    if i not in flagged_set
+                    else np.asarray(
+                        self._encode_host(
+                            normalized[i], already_normalized=True
+                        ),
+                        np.int32,
+                    )
+                    for i in range(n)
+                ]
+                out_offsets = np.zeros(n + 1, np.int64)
+                np.cumsum([len(p) for p in parts], out=out_offsets[1:])
+                out_flat = (
+                    np.concatenate(parts)
+                    if out_offsets[-1]
+                    else np.zeros(0, np.int32)
+                )
+                return out_flat, out_offsets
+            data = self._prepare_bytes(normalized)
             raw, offsets, counts = native._encode_batch_raw(data, None, pats)
             if n == 0 or counts.min() >= 0:
                 return native.compact(raw, offsets, counts)
             # rare: splice host-encoded added-token rows into the flat output
-            parts: list[np.ndarray] = []
+            parts = []
             for i in range(n):
                 c = int(counts[i])
                 if c >= 0:
