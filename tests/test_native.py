@@ -98,3 +98,64 @@ def test_encode_batch_ragged():
     assert offsets[0] == 0 and offsets[-1] == len(flat)
     for i, r in enumerate(rows):
         np.testing.assert_array_equal(flat[offsets[i] : offsets[i + 1]], r)
+
+def test_simd_scanner_fuzz_long_runs():
+    """Pin the SSE2 run scanner (run_stop_mask16 / extend_run): random texts
+    with long single-class runs crossing 16-byte block boundaries, mixed
+    with multi-byte UTF-8 of both same and different classes."""
+    tok = trained_tokenizer()
+    ne = _native_encoder(tok)
+    rng = np.random.RandomState(11)
+    pieces = [
+        "a" * 15, "b" * 16, "c" * 17, "d" * 33, "1" * 16, "2" * 31,
+        " " * 16, " " * 17, "\t" * 20, "!" * 16, "?" * 18,
+        "é" * 10, "日" * 6, "é" * 5, "'ll", "'s", "'", "x", " ",
+    ]
+    for _ in range(300):
+        n = rng.randint(1, 8)
+        text = "".join(pieces[rng.randint(len(pieces))] for _ in range(n))
+        normalized = tok.normalizer.normalize(text)
+        expected = tok._encode_host(normalized, already_normalized=True)
+        assert ne.encode(normalized.encode("utf-8")) == expected, repr(text)
+
+
+def test_short_cache_collision_and_reuse():
+    """Words <= 8 bytes go through the inline-key ShortCache; verify heavy
+    reuse and near-identical keys (same bytes, different lengths) stay
+    exact across repeated batch calls."""
+    tok = trained_tokenizer()
+    ne = _native_encoder(tok)
+    words = ["a", "aa", "aaa", "aaaa", "ab", "ba", "abc", "abcd",
+             "abcdefgh", "abcdefg", " a", " ab", "1", "12", "123"]
+    texts = [" ".join(words), " ".join(reversed(words))] * 5
+    expected = [
+        tok._encode_host(tok.normalizer.normalize(t), already_normalized=True)
+        for t in texts
+    ]
+    for _ in range(3):
+        got = ne.encode_batch([tok.normalizer.normalize(t).encode() for t in texts])
+        assert got == expected
+
+
+def test_fused_extension_matches_bytes_path():
+    """The _ctok_ext fused entry (str-in, GIL-released) must agree with the
+    ctypes bytes-in path and the host oracle, including added-token
+    flagging."""
+    from complexity_tokenizer_tpu.native import load_ext
+
+    if load_ext() is None:
+        pytest.skip("extension surface unavailable")
+    tok = trained_tokenizer()
+    ne = tok._get_native_encoder()
+    texts = conformance_corpus() + ["has <s> inside", "", "plain"]
+    normalized = [tok.normalizer.normalize(t) for t in texts]
+    pats = tok._added_byte_patterns()
+    flat, offs, flagged = ne.encode_ragged_fused(normalized, False, pats)
+    host = [tok._encode_host(t, already_normalized=True) for t in normalized]
+    flagged = set(flagged or [])
+    for i, h in enumerate(host):
+        if i in flagged:
+            assert offs[i] == offs[i + 1]  # flagged rows compact as empty
+        else:
+            assert flat[offs[i] : offs[i + 1]].tolist() == h, repr(texts[i])
+    assert any("<s>" in t for t in texts) and flagged, "gate should flag <s>"
