@@ -146,22 +146,21 @@ def main():
     best_lists = _time_best(lambda: tok.encode_batch(texts), n=3)
     detail["list_output_bytes_per_s"] = round(total_bytes / best_lists, 1)
 
-    # device (TPU) pipeline on a subset — the bulk/scaling tier
+    # device (TPU) tier — the word path: the chip merges every distinct
+    # uncached word, the native runtime assembles (ops/wordpath.py).
+    # Run in a subprocess so a cold first-compile on a fresh machine can
+    # never stall the headline (the jit is disk-cached after one run).
     try:
-        pipeline = tok._get_pipeline()
-        if pipeline is not None:
-            sub = texts[:2048]
-            sub_bytes = sum(len(t.encode("utf-8")) for t in sub)
-            pipeline.encode_batch(sub)  # compile + warm
-            best_dev = _time_best(lambda: pipeline.encode_batch(sub), n=3)
-            detail["device_bytes_per_s"] = round(sub_bytes / best_dev, 1)
-            dev_sample = pipeline.encode_batch(sample)
-            detail["device_exact_match_rate"] = sum(
-                1 for d, h in zip(dev_sample, host_ids) if d == h
-            ) / max(len(sample), 1)
-            import jax
+        import subprocess
 
-            detail["device_backend"] = jax.default_backend()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-detail"],
+            capture_output=True,
+            text=True,
+            timeout=480,
+        )
+        line = (r.stdout.strip().splitlines() or [""])[-1]
+        detail.update(json.loads(line))
     except Exception as e:  # pragma: no cover
         detail["device_error"] = str(e)[:200]
 
@@ -178,5 +177,41 @@ def main():
     )
 
 
+def device_detail():
+    """Measure the device word path; prints one JSON line of detail keys."""
+    out: dict = {}
+    tok = build_tokenizer()
+    texts = bench_texts()
+    total_bytes = sum(len(t.encode("utf-8")) for t in texts)
+    try:
+        wp = tok._get_word_path()
+        if wp is None:
+            out["device_error"] = "word path unavailable"
+        else:
+            norm = tok._normalize_batch(texts)
+            data = tok._prepare_bytes(norm)
+            t0 = time.perf_counter()
+            n_filled = wp.fill_caches(data)  # includes first-compile cost
+            out["device_word_fill_s"] = round(time.perf_counter() - t0, 3)
+            out["device_words_filled"] = int(n_filled)
+            best_dev = _time_best(lambda: wp.encode_batch_ragged(data), n=3)
+            out["device_bytes_per_s"] = round(total_bytes / best_dev, 1)
+            sample_idx = list(range(0, N_TEXTS, 997))
+            host_ids = [tok._encode_host(texts[i]) for i in sample_idx]
+            dev_sample = wp.encode_batch([data[i] for i in sample_idx])
+            out["device_exact_match_rate"] = sum(
+                1 for d, h in zip(dev_sample, host_ids) if d == h
+            ) / max(len(sample_idx), 1)
+            import jax
+
+            out["device_backend"] = jax.default_backend()
+    except Exception as e:  # pragma: no cover
+        out["device_error"] = str(e)[:200]
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--device-detail" in sys.argv:
+        device_detail()
+    else:
+        main()

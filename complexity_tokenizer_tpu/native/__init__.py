@@ -143,6 +143,26 @@ def load_library():
             ctypes.c_void_p,
             ctypes.c_int32,
         ]
+        lib.ctok_collect_miss_words.restype = ctypes.c_int64
+        lib.ctok_collect_miss_words.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.ctok_cache_insert_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.ctok_pack.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -294,6 +314,52 @@ class NativeEncoder:
             )
         return out, offsets, counts
 
+    def collect_miss_words(
+        self, data: list[bytes], max_wlen: int = 32,
+        cap_words: int = 1 << 20, cap_bytes: int = 1 << 24,
+    ):
+        """Distinct pre-split words in the corpus that no cache knows yet
+        (<= max_wlen bytes): (words_buf uint8, lens int32[n]).  These are
+        the candidates for a device batch encode + cache_insert."""
+        n = len(data)
+        if n == 0:
+            return np.zeros(0, np.uint8), np.zeros(0, np.int32)
+        joined = b"".join(data)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(d) for d in data], out=offsets[1:])
+        jb = np.frombuffer(joined, np.uint8) if joined else np.zeros(1, np.uint8)
+        cap_bytes = min(cap_bytes, len(joined) + 1)
+        cap_words = min(cap_words, (len(joined) // 1) + 1)
+        words = np.empty(cap_bytes, np.uint8)
+        lens = np.empty(cap_words, np.int32)
+        n_words = self._lib.ctok_collect_miss_words(
+            self._ctx, _ptr(jb), _ptr(offsets), n, int(max_wlen),
+            _ptr(words), _ptr(lens), cap_words, cap_bytes,
+        )
+        lens = lens[:n_words]
+        return words[: int(lens.sum())] if n_words else np.zeros(0, np.uint8), lens
+
+    def cache_insert(self, words_buf: np.ndarray, word_lens: np.ndarray,
+                     ids_rows: list[list[int]]):
+        """Insert precomputed word encodes into the shared caches (not
+        concurrency-safe with encode calls)."""
+        n = len(word_lens)
+        if n == 0:
+            return
+        word_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(word_lens, out=word_offsets[1:])
+        ids_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(r) for r in ids_rows], out=ids_offsets[1:])
+        ids_buf = np.fromiter(
+            (i for r in ids_rows for i in r), np.int32,
+            count=int(ids_offsets[-1]),
+        ) if ids_offsets[-1] else np.zeros(1, np.int32)
+        wb = np.ascontiguousarray(words_buf, np.uint8)
+        self._lib.ctok_cache_insert_batch(
+            self._ctx, _ptr(wb), _ptr(word_offsets), n, _ptr(ids_buf),
+            _ptr(ids_offsets),
+        )
+
     def compact(self, out: np.ndarray, offsets: np.ndarray, counts: np.ndarray):
         """Per-text id regions at byte offsets -> (flat int32, row_offsets
         int64).  All counts must be >= 0."""
@@ -343,6 +409,26 @@ class NativeEncoder:
         flat = np.frombuffer(flat_b, np.int32)
         offs = np.frombuffer(off_b, np.int64)
         return flat, offs, flagged
+
+    def encode_rows_fused(
+        self,
+        texts: list[str],
+        add_prefix_space: bool,
+        patterns: list[bytes] | None,
+        n_threads: int | None = None,
+    ):
+        """list[list[int]] built in C (None rows = added-token candidates
+        for the caller's host matcher).  None when the extension surface
+        is unavailable."""
+        ext = load_ext()
+        if ext is None or not hasattr(ext, "encode_rows"):
+            return None
+        if n_threads is None:
+            n_threads = os.cpu_count() or 1
+        return ext.encode_rows(
+            self._ctx, texts, int(bool(add_prefix_space)), patterns or [],
+            int(n_threads),
+        )
 
     def encode_batch_ragged(self, data: list[bytes], n_threads: int | None = None):
         """(flat_ids int32 [total], row_offsets int64 [n+1]) — zero-copy

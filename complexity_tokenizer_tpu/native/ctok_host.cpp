@@ -185,6 +185,11 @@ struct Ctx {
     bool simd_ascii;
     WordCache caches[kMaxThreads];
     ShortCache short_caches[kMaxThreads];
+    // Shared caches, read-only during batch encode; filled between batches
+    // by ctok_cache_insert_batch (typically with device-computed encodes of
+    // collected miss words).
+    WordCache shared_long;
+    ShortCache shared_short;
 };
 
 inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
@@ -339,13 +344,24 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
     if (is_short) {
         std::memcpy(&k8, data + start, (size_t)wlen);
         if (wlen < 8) k8 &= (~0ull) >> ((8 - wlen) * 8);
+        if (!c->shared_short.slots.empty()) {
+            int64_t n = c->shared_short.lookup(k8, (uint8_t)wlen, out);
+            if (n >= 0) return n;
+        }
         if (!sc->slots.empty()) {
             int64_t n = sc->lookup(k8, (uint8_t)wlen, out);
             if (n >= 0) return n;
         }
     } else if (cache && wlen <= kMaxCachedWord) {
         h = fnv1a(data + start, wlen);
-        int64_t ei = cache->find(h, data + start, wlen);
+        int64_t ei = c->shared_long.find(h, data + start, wlen);
+        if (ei >= 0) {
+            const WordCache::Entry& e = c->shared_long.entries[ei];
+            std::memcpy(out, c->shared_long.ids_arena.data() + e.ids_off,
+                        e.ids_len * sizeof(int32_t));
+            return e.ids_len;
+        }
+        ei = cache->find(h, data + start, wlen);
         if (ei >= 0) {
             const WordCache::Entry& e = cache->entries[ei];
             std::memcpy(out, cache->ids_arena.data() + e.ids_off,
@@ -369,6 +385,36 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
     return (int64_t)scratch.size();
 }
 
+// End of the GPT-2 simplified match starting at i (contraction / optional
+// space-prefix / class-run rules of pretokenizers.rs:8-15).
+inline int64_t word_end_at(const Ctx* c, const uint8_t* data, int64_t n,
+                           int64_t i) {
+    int clen;
+    int cur_cls = cls_at(c, data, n, i, &clen);
+    if (data[i] == '\'' && i + 1 < n) {
+        uint8_t n1 = data[i + 1];
+        if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') return i + 2;
+        if (i + 2 < n) {
+            uint8_t n2 = data[i + 2];
+            if ((n1 == 'r' && n2 == 'e') || (n1 == 'v' && n2 == 'e') ||
+                (n1 == 'l' && n2 == 'l'))
+                return i + 3;
+        }
+    }
+    int64_t j = i;
+    int run_cls = cur_cls;
+    if (data[i] == ' ' && i + 1 < n) {
+        int l2;
+        int c2 = cls_at(c, data, n, i + 1, &l2);
+        if (c2 != CL_WS) {
+            j = i + 1;
+            run_cls = c2;
+        }
+    }
+    int64_t end = (run_cls == CL_WS) ? i : j;
+    return extend_run(c, data, n, end, run_cls);
+}
+
 // Scan [data, data+n) emitting GPT-2 simplified matches; for each word call
 // encode_word.  Returns total ids written.
 inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
@@ -379,38 +425,8 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
     int64_t n_out = 0;
     int64_t i = 0;
     while (i < n) {
-        int clen;
-        int cur_cls = cls_at(c, data, n, i, &clen);
-        int64_t start = i, end;
-        int contr = 0;
-        if (data[i] == '\'' && i + 1 < n) {
-            uint8_t n1 = data[i + 1];
-            if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') contr = 2;
-            else if (i + 2 < n) {
-                uint8_t n2 = data[i + 2];
-                if ((n1 == 'r' && n2 == 'e') || (n1 == 'v' && n2 == 'e') ||
-                    (n1 == 'l' && n2 == 'l'))
-                    contr = 3;
-            }
-        }
-        if (contr) {
-            end = i + contr;
-        } else {
-            int64_t j = i;
-            int run_cls = cur_cls;
-            if (data[i] == ' ' && i + 1 < n) {
-                int l2;
-                int c2 = cls_at(c, data, n, i + 1, &l2);
-                if (c2 != CL_WS) {
-                    j = i + 1;
-                    run_cls = c2;
-                }
-            }
-            if (run_cls == CL_WS) end = i;
-            else end = j;
-            end = extend_run(c, data, n, end, run_cls);
-        }
-        n_out += encode_word(c, cache, sc, data, start, end, out + n_out, scratch);
+        int64_t end = word_end_at(c, data, n, i);
+        n_out += encode_word(c, cache, sc, data, i, end, out + n_out, scratch);
         i = end;
     }
     return n_out;
@@ -508,6 +524,96 @@ void ctok_compact(const int32_t* src, const int64_t* offsets,
         pos += cnt;
     }
     dst_offsets[n_texts] = pos;
+}
+
+// Collect the distinct words in the corpus that are not yet in any cache
+// (shared or thread 0's) and are <= max_wlen bytes — the candidate set for
+// a device batch encode.  Words are appended to out_words back to back
+// with lengths in out_lens; returns the word count (capped by cap_words /
+// cap_bytes; the remainder is simply computed on the CPU path later, so
+// capping is safe).
+int64_t ctok_collect_miss_words(void* p, const uint8_t* joined,
+                                const int64_t* offsets, int64_t n_texts,
+                                int64_t max_wlen, uint8_t* out_words,
+                                int32_t* out_lens, int64_t cap_words,
+                                int64_t cap_bytes) {
+    Ctx* c = (Ctx*)p;
+    // local seen-set for this scan
+    ShortCache seen_short;
+    WordCache seen_long;
+    std::vector<int32_t> dummy;
+    int64_t n_words = 0;
+    int64_t byte_pos = 0;
+    int32_t sink[kMaxCachedWord];
+    for (int64_t t = 0; t < n_texts; ++t) {
+        const uint8_t* data = joined + offsets[t];
+        int64_t n = offsets[t + 1] - offsets[t];
+        int64_t i = 0;
+        while (i < n) {
+            int64_t end = word_end_at(c, data, n, i);
+            int64_t wlen = end - i;
+            if (wlen >= 1 && wlen <= max_wlen) {
+                bool known = false;
+                if (wlen <= 8) {
+                    uint64_t k8 = 0;
+                    std::memcpy(&k8, data + i, (size_t)wlen);
+                    if (wlen < 8) k8 &= (~0ull) >> ((8 - wlen) * 8);
+                    known =
+                        (!c->shared_short.slots.empty() &&
+                         c->shared_short.lookup(k8, (uint8_t)wlen, sink) >= 0) ||
+                        (!c->short_caches[0].slots.empty() &&
+                         c->short_caches[0].lookup(k8, (uint8_t)wlen, sink) >= 0) ||
+                        (!seen_short.slots.empty() &&
+                         seen_short.lookup(k8, (uint8_t)wlen, sink) >= 0);
+                    if (!known) seen_short.insert(k8, (uint8_t)wlen, nullptr, 0);
+                } else {
+                    uint64_t h = fnv1a(data + i, wlen);
+                    known = c->shared_long.find(h, data + i, wlen) >= 0 ||
+                            c->caches[0].find(h, data + i, wlen) >= 0 ||
+                            seen_long.find(h, data + i, wlen) >= 0;
+                    if (!known) seen_long.insert(h, data + i, wlen, nullptr, 0);
+                }
+                if (!known) {
+                    if (n_words >= cap_words || byte_pos + wlen > cap_bytes)
+                        return n_words;
+                    std::memcpy(out_words + byte_pos, data + i, (size_t)wlen);
+                    byte_pos += wlen;
+                    out_lens[n_words++] = (int32_t)wlen;
+                }
+            }
+            i = end;
+        }
+    }
+    return n_words;
+}
+
+// Insert precomputed word encodes (typically device-computed) into the
+// shared caches.  Must not run concurrently with encode calls.
+void ctok_cache_insert_batch(void* p, const uint8_t* words_buf,
+                             const int64_t* word_offsets, int64_t n_words,
+                             const int32_t* ids_buf,
+                             const int64_t* ids_offsets) {
+    Ctx* c = (Ctx*)p;
+    for (int64_t w = 0; w < n_words; ++w) {
+        const uint8_t* wp = words_buf + word_offsets[w];
+        int64_t wlen = word_offsets[w + 1] - word_offsets[w];
+        const int32_t* ids = ids_buf + ids_offsets[w];
+        int64_t n_ids = ids_offsets[w + 1] - ids_offsets[w];
+        if (wlen < 1 || wlen > kMaxCachedWord || n_ids > wlen) continue;
+        if (wlen <= 8) {
+            uint64_t k8 = 0;
+            std::memcpy(&k8, wp, (size_t)wlen);
+            if (wlen < 8) k8 &= (~0ull) >> ((8 - wlen) * 8);
+            int32_t sink[8];
+            if (c->shared_short.slots.empty() ||
+                c->shared_short.lookup(k8, (uint8_t)wlen, sink) < 0)
+                c->shared_short.insert(k8, (uint8_t)wlen, ids, n_ids);
+        } else {
+            uint64_t h = fnv1a(wp, wlen);
+            if (c->shared_long.find(h, wp, wlen) < 0)
+                c->shared_long.insert(h, wp, wlen, ids, n_ids);
+        }
+    }
 }
 
 // Multi-pattern gate: grouped by first byte so the common no-match case is
@@ -766,7 +872,66 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
     return Py_BuildValue("(NNN)", flat_b, off_b, flagged);
 }
 
+// Same fused pipeline as encode_ragged but materializes list[list[int]]
+// directly in C (one pass of PyLong construction instead of 10K numpy
+// .tolist() round-trips).  Flagged rows come back as None for the caller
+// to host-encode.
+static PyObject* ctok_py_encode_rows(PyObject* self, PyObject* args) {
+    PyObject* tup = ctok_py_encode_ragged(self, args);
+    if (!tup) return nullptr;
+    PyObject* flat_b = PyTuple_GET_ITEM(tup, 0);
+    PyObject* off_b = PyTuple_GET_ITEM(tup, 1);
+    PyObject* flagged = PyTuple_GET_ITEM(tup, 2);
+    const int32_t* flat = (const int32_t*)PyByteArray_AS_STRING(flat_b);
+    const int64_t* off = (const int64_t*)PyByteArray_AS_STRING(off_b);
+    Py_ssize_t n = PyByteArray_GET_SIZE(off_b) / (Py_ssize_t)sizeof(int64_t) - 1;
+    PyObject* rows = PyList_New(n);
+    if (!rows) {
+        Py_DECREF(tup);
+        return nullptr;
+    }
+    std::vector<uint8_t> is_flagged((size_t)(n > 0 ? n : 1), 0);
+    if (flagged != Py_None) {
+        Py_ssize_t nf = PyList_GET_SIZE(flagged);
+        for (Py_ssize_t k = 0; k < nf; ++k) {
+            Py_ssize_t idx = PyLong_AsSsize_t(PyList_GET_ITEM(flagged, k));
+            if (idx >= 0 && idx < n) is_flagged[(size_t)idx] = 1;
+        }
+    }
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        if (is_flagged[(size_t)i]) {
+            Py_INCREF(Py_None);
+            PyList_SET_ITEM(rows, i, Py_None);
+            continue;
+        }
+        Py_ssize_t m = (Py_ssize_t)(off[i + 1] - off[i]);
+        PyObject* row = PyList_New(m);
+        if (!row) {
+            Py_DECREF(rows);
+            Py_DECREF(tup);
+            return nullptr;
+        }
+        const int32_t* src = flat + off[i];
+        for (Py_ssize_t k = 0; k < m; ++k) {
+            PyObject* v = PyLong_FromLong(src[k]);
+            if (!v) {
+                Py_DECREF(row);
+                Py_DECREF(rows);
+                Py_DECREF(tup);
+                return nullptr;
+            }
+            PyList_SET_ITEM(row, k, v);
+        }
+        PyList_SET_ITEM(rows, i, row);
+    }
+    Py_DECREF(tup);
+    return rows;
+}
+
 static PyMethodDef CtokExtMethods[] = {
+    {"encode_rows", ctok_py_encode_rows, METH_VARARGS,
+     "encode_rows(ctx, texts, add_prefix_space, patterns, n_threads) -> "
+     "list[list[int]] (None rows = added-token candidates)"},
     {"encode_ragged", ctok_py_encode_ragged, METH_VARARGS,
      "encode_ragged(ctx, texts, add_prefix_space, patterns, n_threads) -> "
      "(flat_ids bytearray, row_offsets bytearray, flagged indices or None)"},

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from .hashtable import INF_RANK, chd_lookup_rows_jnp
 
-__all__ = ["merge_words", "seed_tokens"]
+__all__ = ["merge_words", "merge_word_rows", "seed_tokens"]
 
 
 def _shift_left(x, fill):
@@ -104,6 +104,47 @@ def seed_tokens(byte_arr, word_id, valid, byte_token_table):
     tokens = byte_token_table[byte_arr.astype(jnp.int32)]
     tokens = jnp.where(valid, tokens, -1)
     return tokens, word_id
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "n_buckets"))
+def merge_word_rows(tokens, disp, rows, table_size: int, n_buckets: int):
+    """merge_words specialized for the word-flattened layout (one word per
+    row, ops/wordpath.py): no word-id carries, and the per-word minimum
+    rank is a plain row reduction instead of two segmented scans — the
+    fixpoint body drops from three multi-carry scans to one carry scan,
+    one boolean carry and a reduce.
+
+    Args:
+      tokens: [B, W] int32, -1 = tombstone/pad; row = one word.
+    Returns:
+      (tokens, count) as merge_words.
+    """
+    axis = tokens.ndim - 1
+
+    def body(state):
+        t, _ = state
+        alive = t >= 0
+        tn_incl = _carry_first(t, alive, axis)
+        t_next = _shift_left(tn_incl, jnp.int32(-1))
+        pair_valid = alive & (t_next >= 0)
+        r, minted = chd_lookup_rows_jnp(
+            disp, rows, table_size, n_buckets, t, t_next, pair_valid
+        )
+        rowmin = jnp.min(r, axis=axis, keepdims=True)
+        is_best = (r == rowmin) & (rowmin < INF_RANK) & pair_valid
+        # overlapping-run resolution (a==b runs): leading occurrence wins
+        prev_best = _shift_right(_carry_last(is_best, alive, axis), False)
+        selected = is_best & ~prev_best
+        t2 = jnp.where(selected, minted, t)
+        killed = alive & _shift_right(_carry_last(selected, alive, axis), False)
+        t2 = jnp.where(killed, -1, t2)
+        return t2, jnp.any(selected)
+
+    tokens, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (tokens, jnp.array(True))
+    )
+    count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=axis)
+    return tokens, count
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "n_buckets"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from .mesh import batch_sharding, data_mesh
 
-__all__ = ["shard_encode_pipeline"]
+__all__ = ["shard_encode_pipeline", "shard_word_encoder"]
 
 
 def shard_encode_pipeline(pipeline, mesh=None):
@@ -20,3 +20,13 @@ def shard_encode_pipeline(pipeline, mesh=None):
     pipeline.sharding = batch_sharding(mesh)
     pipeline.n_devices = mesh.devices.size
     return pipeline
+
+
+def shard_word_encoder(word_encoder, mesh=None):
+    """Enable mesh sharding on a ``DeviceWordEncoder`` (in place): the
+    distinct-word matrix rows shard over the ``data`` axis, tables
+    replicated — each chip merges its slice of the new words."""
+    if mesh is None:
+        mesh = data_mesh()
+    word_encoder.sharding = batch_sharding(mesh)
+    return word_encoder

@@ -105,7 +105,7 @@ class Tokenizer:
         self._decode_pipeline_dirty = True
         self._native = None
         self._native_dirty = True
-        self._added_checkers_cache = None
+        self._added_patterns_cache = None
         self.use_device: bool = os.environ.get("CTOK_DISABLE_DEVICE", "") != "1"
         self.encode_backend: str = os.environ.get("CTOK_ENCODE_BACKEND", "auto")
 
@@ -235,7 +235,26 @@ class Tokenizer:
         self._pipeline_dirty = True
         self._decode_pipeline_dirty = True
         self._native_dirty = True
-        self._added_checkers_cache = None
+        self._word_path = None
+        self._word_path_dirty = True
+        self._added_patterns_cache = None
+
+    def _get_word_path(self):
+        """Device word-path encoder (TPU merges distinct uncached words,
+        native runtime assembles); None if ineligible."""
+        if not self.use_device:
+            return None
+        if not getattr(self, "_word_path_dirty", True):
+            return self._word_path
+        self._word_path_dirty = False
+        self._word_path = None
+        try:
+            from .ops.wordpath import build_word_encoder
+
+            self._word_path = build_word_encoder(self)
+        except Exception:
+            self._word_path = None
+        return self._word_path
 
     def _get_decode_pipeline(self):
         """Device decode pipeline for ByteLevel decoders; None otherwise."""
@@ -477,8 +496,20 @@ class Tokenizer:
         if backend in ("auto", "native"):
             native = self._get_native_encoder()
             if native is not None:
-                data = self._prepare_bytes(normalized)
                 pats = self._added_byte_patterns() if self.added_tokens else None
+                aps = self._byte_level_prefix_space()
+                rows = native.encode_rows_fused(normalized, aps, pats)
+                if rows is not None:
+                    for i, r in enumerate(rows):
+                        out[i] = (
+                            r
+                            if r is not None
+                            else self._encode_host(
+                                normalized[i], already_normalized=True
+                            )
+                        )
+                    return out  # type: ignore[return-value]
+                data = self._prepare_bytes(normalized)
                 raw, offsets, counts = native._encode_batch_raw(data, None, pats)
                 for i in range(n):
                     c = int(counts[i])
@@ -500,10 +531,16 @@ class Tokenizer:
                     i for i in range(n) if flags is None or not flags[i]
                 ]
                 if fast_idx:
-                    encoded = pipeline.encode_batch(
-                        [normalized[i] for i in fast_idx],
-                        already_normalized=True,
-                    )
+                    word_path = self._get_word_path()
+                    if word_path is not None:
+                        encoded = word_path.encode_batch(
+                            [data[i] for i in fast_idx]
+                        )
+                    else:
+                        encoded = pipeline.encode_batch(
+                            [normalized[i] for i in fast_idx],
+                            already_normalized=True,
+                        )
                     for i, ids in zip(fast_idx, encoded):
                         out[i] = ids
                 for i in range(n):

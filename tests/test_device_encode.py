@@ -99,3 +99,29 @@ def test_device_fuzz_heavy(tok, pipeline):
     got = pipeline.encode_batch(texts)
     for t, e, g in zip(texts, expected, got):
         assert g == e, (repr(t), e, g)
+
+
+def test_word_path_matches_host():
+    """Device word path (collect misses -> device merge -> shared-cache
+    insert -> native assemble) must be id-exact vs the host oracle."""
+    import pytest
+
+    from helpers import conformance_corpus, trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    wp = tok._get_word_path()
+    assert wp is not None
+    texts = conformance_corpus()
+    normalized = [tok.normalizer.normalize(t) for t in texts]
+    data = tok._prepare_bytes(normalized)
+    host = [tok._encode_host(t, already_normalized=True) for t in normalized]
+    assert wp.encode_batch(data) == host
+    # second call: everything cached, zero misses
+    assert wp.fill_caches(data) == 0
+    assert wp.encode_batch(data) == host
+    # backend="device" end-to-end through the public API
+    assert tok.encode_batch(texts, backend="device") == [
+        tok._encode_host(t) for t in texts
+    ]
