@@ -146,6 +146,22 @@ def main():
     best_lists = _time_best(lambda: tok.encode_batch(texts), n=3)
     detail["list_output_bytes_per_s"] = round(total_bytes / best_lists, 1)
 
+    # decode round-trip (BASELINE config 4): ragged zero-copy decode
+    flat, offs = tok.encode_batch_ragged(texts)
+    tok.decode_batch_ragged(flat, offs)
+    best_dec = _time_best(lambda: tok.decode_batch_ragged(flat, offs), n=3)
+    detail["decode_bytes_per_s"] = round(total_bytes / best_dec, 1)
+    rt = tok.decode_batch_ragged(flat, offs)
+    rt_sample = [
+        tok._decode_impl(
+            [int(x) for x in flat[offs[i] : offs[i + 1]]], False, True
+        )
+        for i in range(0, N_TEXTS, 997)
+    ]
+    detail["decode_exact_match_rate"] = sum(
+        1 for i, j in zip(rt[::997], rt_sample) if i == j
+    ) / max(len(rt_sample), 1)
+
     # device (TPU) tier — the word path: the chip merges every distinct
     # uncached word, the native runtime assembles (ops/wordpath.py).
     # Run in a subprocess so a cold first-compile on a fresh machine can

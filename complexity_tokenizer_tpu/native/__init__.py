@@ -14,7 +14,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["load_library", "NativeEncoder", "native_pack", "match_any", "available"]
+__all__ = ["load_library", "NativeEncoder", "NativeDecoder", "native_pack", "match_any", "available"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ctok_host.cpp")
@@ -162,6 +162,29 @@ def load_library():
             ctypes.c_int64,
             ctypes.c_void_p,
             ctypes.c_void_p,
+        ]
+        lib.ctok_decoder_new.restype = ctypes.c_void_p
+        lib.ctok_decoder_new.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.ctok_decoder_free.argtypes = [ctypes.c_void_p]
+        lib.ctok_decode_batch.restype = ctypes.c_int64
+        lib.ctok_decode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
         ]
         lib.ctok_pack.argtypes = [
             ctypes.c_void_p,
@@ -438,6 +461,94 @@ class NativeEncoder:
             return np.zeros(0, np.int32), np.zeros(1, np.int64)
         out, offsets, counts = self._encode_batch_raw(data, n_threads)
         return self.compact(out, offsets, counts)
+
+
+class NativeDecoder:
+    """Native ByteLevel batch decoder: id->raw-bytes arena concat, strict
+    UTF-8 gate, the reference's cleanup table, unicode-whitespace
+    split-join (decoders.rs:94-119, mod.rs:749-769).  Rows with invalid
+    UTF-8 are flagged back to the exact Python path."""
+
+    def __init__(self, id_bytes: list[bytes], special_mask: np.ndarray):
+        from ..utils.unicode_tables import gpt2_class_table
+
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        n = len(id_bytes)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(b) for b in id_bytes], out=offsets[1:])
+        arena = np.frombuffer(b"".join(id_bytes) or b"\0", np.uint8)
+        cls = np.ascontiguousarray(gpt2_class_table())
+        self._keep = (cls,)
+        sm = np.ascontiguousarray(special_mask, np.uint8)
+        self._ctx = lib.ctok_decoder_new(
+            _ptr(arena), _ptr(offsets), n, _ptr(sm), _ptr(cls), len(cls)
+        )
+
+    def __del__(self):
+        try:
+            if getattr(self, "_ctx", None):
+                self._lib.ctok_decoder_free(self._ctx)
+        except Exception:
+            pass
+
+    def decode_batch(
+        self, batch, skip_special_tokens: bool, cleanup: bool
+    ):
+        """(texts: list[str|None], flagged: list[int]) — flagged rows are
+        None (invalid UTF-8; caller uses the lossy Python path)."""
+        from itertools import chain
+
+        n = len(batch)
+        row_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(r) for r in batch], out=row_offsets[1:])
+        total_ids = int(row_offsets[-1])
+        ids_flat = np.fromiter(
+            chain.from_iterable(batch), np.int32, count=total_ids
+        ) if total_ids else np.zeros(1, np.int32)
+        return self.decode_ragged(
+            ids_flat, row_offsets, skip_special_tokens, cleanup
+        )
+
+    def decode_ragged(
+        self,
+        ids_flat: np.ndarray,
+        row_offsets: np.ndarray,
+        skip_special_tokens: bool,
+        cleanup: bool,
+    ):
+        """Ragged-input decode (the zero-copy mirror of
+        encode_batch_ragged): ids_flat int32 + row_offsets int64."""
+        n = len(row_offsets) - 1
+        total_ids = int(row_offsets[-1])
+        ids_flat = np.ascontiguousarray(ids_flat, np.int32)
+        row_offsets = np.ascontiguousarray(row_offsets, np.int64)
+        if ids_flat.size == 0:
+            ids_flat = np.zeros(1, np.int32)
+        cap = max(total_ids * 16 + 64, 1024)
+        while True:
+            out = np.empty(cap, np.uint8)
+            out_offsets = np.zeros(n + 1, np.int64)
+            flags = np.zeros(max(n, 1), np.uint8)
+            written = self._lib.ctok_decode_batch(
+                self._ctx, _ptr(ids_flat), _ptr(row_offsets), n,
+                int(skip_special_tokens), int(cleanup), _ptr(out),
+                _ptr(out_offsets), _ptr(flags), cap,
+            )
+            if written >= 0:
+                break
+            cap *= 4
+        texts: list[str | None] = [None] * n
+        flagged: list[int] = []
+        buf = out[:written].tobytes()
+        for i in range(n):
+            if flags[i]:
+                flagged.append(i)
+            else:
+                texts[i] = buf[out_offsets[i] : out_offsets[i + 1]].decode("utf-8")
+        return texts, flagged
 
 
 def match_any(data: list[bytes], patterns: list[bytes],

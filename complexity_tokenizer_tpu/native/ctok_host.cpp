@@ -432,6 +432,112 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
     return n_out;
 }
 
+
+// ---------------------------------------------------------------------------
+// Native ByteLevel decoder (decoders.rs:94-119 + the cleanup table of
+// huggingface/mod.rs:749-769): ids -> per-id raw bytes (precomputed arena)
+// -> strict-UTF-8 check -> ASCII replace table -> unicode-whitespace
+// split-join.  Rows containing invalid UTF-8 are flagged for the exact
+// Python path (from_utf8_lossy replacement semantics), keeping this code
+// simple and byte-exact.
+// ---------------------------------------------------------------------------
+struct DecCtx {
+    std::vector<uint8_t> arena;
+    std::vector<int64_t> offs;  // n_ids + 1
+    std::vector<uint8_t> skip;  // 1 = special token (skippable)
+    int64_t n_ids = 0;
+    const uint8_t* cls_table = nullptr;  // borrowed; caller keeps alive
+    int64_t cls_size = 0;
+};
+
+inline bool utf8_valid(const uint8_t* p, int64_t n) {
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t b = p[i];
+        if (b < 0x80) { ++i; continue; }
+        int len;
+        uint32_t cp, min_cp;
+        if ((b & 0xE0) == 0xC0) { len = 2; cp = b & 0x1F; min_cp = 0x80; }
+        else if ((b & 0xF0) == 0xE0) { len = 3; cp = b & 0x0F; min_cp = 0x800; }
+        else if ((b & 0xF8) == 0xF0) { len = 4; cp = b & 0x07; min_cp = 0x10000; }
+        else return false;
+        if (i + len > n) return false;
+        for (int k = 1; k < len; ++k) {
+            if ((p[i + k] & 0xC0) != 0x80) return false;
+            cp = (cp << 6) | (p[i + k] & 0x3F);
+        }
+        if (cp < min_cp || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+            return false;
+        i += len;
+    }
+    return true;
+}
+
+struct Pat { const char* a; const char* b; };
+static const Pat kCleanupTable[] = {
+    {" .", "."}, {" ,", ","}, {" !", "!"}, {" ?", "?"}, {" :", ":"},
+    {" ;", ";"}, {"\" ", "\""}, {" \"", "\""}, {"' ", "'"}, {" '", "'"},
+    {"( ", "("}, {" )", ")"}, {"[ ", "["}, {" ]", "]"}, {" - ", "-"}};
+
+// Sequential replace with the reference's str.replace semantics.  Returns
+// false (dst untouched) when the pattern does not occur — the common case
+// is one SIMD memmem sweep and no copy at all.
+inline bool replace_pass(const std::vector<uint8_t>& src,
+                         std::vector<uint8_t>& dst, const char* pat,
+                         size_t pl, const char* rep, size_t rl) {
+    size_t n = src.size();
+    if (pl == 0 || pl > n) return false;
+    const uint8_t* base = src.data();
+    const uint8_t* hit =
+        (const uint8_t*)memmem(base, n, pat, pl);
+    if (!hit) return false;
+    dst.clear();
+    size_t i = 0;
+    while (hit) {
+        size_t at = (size_t)(hit - base);
+        dst.insert(dst.end(), base + i, base + at);
+        dst.insert(dst.end(), rep, rep + rl);
+        i = at + pl;
+        if (i + pl > n) break;
+        hit = (const uint8_t*)memmem(base + i, n - i, pat, pl);
+    }
+    dst.insert(dst.end(), base + i, base + n);
+    return true;
+}
+
+// whitespace split + single-space join (tokenizer._split_whitespace_join):
+// the cls_table's CL_WS class is exactly the whitespace set
+inline void ws_split_join(const DecCtx* d, const std::vector<uint8_t>& src,
+                          std::vector<uint8_t>& dst) {
+    dst.clear();
+    size_t i = 0, n = src.size();
+    bool in_word = false;
+    size_t last_word_end = 0;
+    while (i < n) {
+        uint8_t b = src[i];
+        int len = 1;
+        bool is_ws;
+        if (b < 0x80) {
+            is_ws = (b >= 9 && b <= 13) || b == 32;
+        } else {
+            uint32_t cp;
+            len = decode_cp(src.data(), (int64_t)n, (int64_t)i, &cp);
+            is_ws = (int64_t)cp < d->cls_size && d->cls_table[cp] == CL_WS;
+        }
+        if (is_ws) {
+            in_word = false;
+        } else {
+            if (!in_word) {
+                if (!dst.empty()) dst.push_back(' ');
+                in_word = true;
+            }
+            dst.insert(dst.end(), src.data() + i, src.data() + i + len);
+        }
+        i += (size_t)len;
+    }
+    (void)last_word_end;
+}
+
 }  // namespace
 
 extern "C" {
@@ -524,6 +630,103 @@ void ctok_compact(const int32_t* src, const int64_t* offsets,
         pos += cnt;
     }
     dst_offsets[n_texts] = pos;
+}
+
+// ---- decoder C ABI ----
+
+void* ctok_decoder_new(const uint8_t* bytes_buf, const int64_t* id_offsets,
+                       int64_t n_ids, const uint8_t* special_mask,
+                       const uint8_t* cls_table, int64_t cls_size) {
+    DecCtx* d = new DecCtx();
+    d->n_ids = n_ids;
+    d->offs.assign(id_offsets, id_offsets + n_ids + 1);
+    d->arena.assign(bytes_buf, bytes_buf + id_offsets[n_ids]);
+    d->skip.assign(special_mask, special_mask + n_ids);
+    d->cls_table = cls_table;
+    d->cls_size = cls_size;
+    return d;
+}
+
+void ctok_decoder_free(void* p) { delete (DecCtx*)p; }
+
+// Decode rows of ids into out (final UTF-8 bytes, rows delimited by
+// out_offsets).  Rows with invalid UTF-8 get out_flags[i] = 1 and empty
+// output (caller uses the exact lossy Python path).  Returns total bytes
+// written, or -1 if cap would overflow (caller retries with a larger cap).
+int64_t ctok_decode_batch(void* p, const int32_t* ids_flat,
+                          const int64_t* row_offsets, int64_t n_rows,
+                          int32_t skip_special, int32_t cleanup,
+                          uint8_t* out, int64_t* out_offsets,
+                          uint8_t* out_flags, int64_t cap) {
+    DecCtx* d = (DecCtx*)p;
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    if (n_rows < n_threads * 8) n_threads = 1;
+    // contiguous row ranges per thread; each thread builds its own buffer
+    // and per-row sizes, then blocks concatenate in order
+    std::vector<std::vector<uint8_t>> bufs((size_t)n_threads);
+    std::vector<std::vector<int64_t>> sizes((size_t)n_threads);
+    int64_t total_ids = row_offsets[n_rows];
+    auto worker = [&](int tid) {
+        int64_t lo = n_rows * tid / n_threads;
+        int64_t hi = n_rows * (tid + 1) / n_threads;
+        std::vector<uint8_t>& outb = bufs[(size_t)tid];
+        std::vector<int64_t>& sz = sizes[(size_t)tid];
+        outb.reserve((size_t)((total_ids / (n_rows ? n_rows : 1) + 8) *
+                              (hi - lo) * 4));
+        sz.resize((size_t)(hi - lo));
+        std::vector<uint8_t> buf_a, buf_b;
+        for (int64_t r = lo; r < hi; ++r) {
+            out_flags[r] = 0;
+            buf_a.clear();
+            for (int64_t k = row_offsets[r]; k < row_offsets[r + 1]; ++k) {
+                int64_t id = ids_flat[k];
+                if (id < 0 || id >= d->n_ids) continue;  // unknown: dropped
+                if (skip_special && d->skip[(size_t)id]) continue;
+                buf_a.insert(buf_a.end(),
+                             d->arena.data() + d->offs[(size_t)id],
+                             d->arena.data() + d->offs[(size_t)id + 1]);
+            }
+            if (!utf8_valid(buf_a.data(), (int64_t)buf_a.size())) {
+                out_flags[r] = 1;
+                sz[(size_t)(r - lo)] = 0;
+                continue;
+            }
+            std::vector<uint8_t>* cur = &buf_a;
+            if (cleanup) {
+                std::vector<uint8_t>* nxt = &buf_b;
+                for (const Pat& rp : kCleanupTable) {
+                    if (replace_pass(*cur, *nxt, rp.a, std::strlen(rp.a),
+                                     rp.b, std::strlen(rp.b)))
+                        std::swap(cur, nxt);
+                }
+                ws_split_join(d, *cur, *nxt);
+                std::swap(cur, nxt);
+            }
+            sz[(size_t)(r - lo)] = (int64_t)cur->size();
+            outb.insert(outb.end(), cur->begin(), cur->end());
+        }
+    };
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
+    }
+    int64_t pos = 0;
+    for (int t = 0; t < n_threads; ++t) {
+        if (pos + (int64_t)bufs[(size_t)t].size() > cap) return -1;
+        std::memcpy(out + pos, bufs[(size_t)t].data(), bufs[(size_t)t].size());
+        int64_t lo = n_rows * t / n_threads;
+        for (size_t j = 0; j < sizes[(size_t)t].size(); ++j) {
+            out_offsets[lo + (int64_t)j] = pos;
+            pos += sizes[(size_t)t][j];
+        }
+    }
+    out_offsets[n_rows] = pos;
+    return pos;
 }
 
 // Collect the distinct words in the corpus that are not yet in any cache

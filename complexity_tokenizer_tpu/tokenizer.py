@@ -237,6 +237,8 @@ class Tokenizer:
         self._native_dirty = True
         self._word_path = None
         self._word_path_dirty = True
+        self._native_decoder = None
+        self._native_decoder_dirty = True
         self._added_patterns_cache = None
 
     def _get_word_path(self):
@@ -255,6 +257,52 @@ class Tokenizer:
         except Exception:
             self._word_path = None
         return self._word_path
+
+    def _get_native_decoder(self):
+        """Native ByteLevel batch decoder; None when ineligible (non-
+        ByteLevel decoder, sparse/huge id space, or no C toolchain)."""
+        if not getattr(self, "_native_decoder_dirty", True):
+            return self._native_decoder
+        self._native_decoder_dirty = False
+        self._native_decoder = None
+        from .core.decoders import ByteLevel as _BLD
+
+        if not isinstance(self.decoder, _BLD):
+            return None
+        try:
+            ids = self.vocab._id_to_token
+            if not ids:
+                return None
+            max_id = max(ids)
+            if max_id > 2_000_000:
+                return None
+            import numpy as np
+
+            from .native import NativeDecoder
+            from .utils.bytelevel import unicode_to_bytes
+
+            inv = unicode_to_bytes()
+            id_bytes: list[bytes] = []
+            special_mask = np.zeros(max_id + 1, np.uint8)
+            for i in range(max_id + 1):
+                t = ids.get(i)
+                if t is None:
+                    id_bytes.append(b"")
+                    continue
+                bb = bytearray()
+                for c in t:
+                    b = inv.get(c)
+                    if b is not None:
+                        bb.append(b)
+                    elif c.isascii():
+                        bb.append(ord(c))
+                id_bytes.append(bytes(bb))
+                if t in self.special_tokens:
+                    special_mask[i] = 1
+            self._native_decoder = NativeDecoder(id_bytes, special_mask)
+        except Exception:
+            self._native_decoder = None
+        return self._native_decoder
 
     def _get_decode_pipeline(self):
         """Device decode pipeline for ByteLevel decoders; None otherwise."""
@@ -689,6 +737,16 @@ class Tokenizer:
         self, batch, skip_special_tokens: bool = False, clean_up_tokenization_spaces: bool = True
     ) -> list[str]:
         batch = list(batch)
+        nd = self._get_native_decoder()
+        if nd is not None:
+            texts, flagged = nd.decode_batch(
+                batch, skip_special_tokens, clean_up_tokenization_spaces
+            )
+            for i in flagged:  # invalid UTF-8: exact lossy Python path
+                texts[i] = self._decode_impl(
+                    batch[i], skip_special_tokens, clean_up_tokenization_spaces
+                )
+            return texts  # type: ignore[return-value]
         pipeline = self._get_decode_pipeline() if len(batch) >= 8 else None
         if pipeline is not None:
             texts = pipeline.decode_batch(batch, skip_special_tokens)
@@ -699,6 +757,36 @@ class Tokenizer:
             self._decode_impl(ids, skip_special_tokens, clean_up_tokenization_spaces)
             for ids in batch
         ]
+
+    def decode_batch_ragged(
+        self,
+        flat_ids,
+        row_offsets,
+        skip_special_tokens: bool = False,
+        clean_up_tokenization_spaces: bool = True,
+    ) -> list[str]:
+        """Zero-copy mirror of ``encode_batch_ragged``: decode rows given
+        as (flat int32 ids, int64 row offsets) without building Python
+        lists.  Framework-native form for round-tripping device output."""
+        nd = self._get_native_decoder()
+        if nd is not None:
+            texts, flagged = nd.decode_ragged(
+                flat_ids, row_offsets, skip_special_tokens,
+                clean_up_tokenization_spaces,
+            )
+            for i in flagged:
+                texts[i] = self._decode_impl(
+                    [int(x) for x in flat_ids[row_offsets[i]:row_offsets[i + 1]]],
+                    skip_special_tokens, clean_up_tokenization_spaces,
+                )
+            return texts  # type: ignore[return-value]
+        rows = [
+            [int(x) for x in flat_ids[row_offsets[i]:row_offsets[i + 1]]]
+            for i in range(len(row_offsets) - 1)
+        ]
+        return self.decode_batch_with_options(
+            rows, skip_special_tokens, clean_up_tokenization_spaces
+        )
 
     def batch_decode(
         self, sequences, skip_special_tokens: bool = False, clean_up_tokenization_spaces: bool = True
@@ -982,9 +1070,11 @@ class Tokenizer:
 
     def set_post_processor(self, post_processor) -> None:
         self.post_processor = getattr(post_processor, "inner", post_processor)
+        self._invalidate_pipeline()
 
     def set_decoder(self, decoder) -> None:
         self.decoder = getattr(decoder, "inner", decoder)
+        self._invalidate_pipeline()
 
     # ------------------------------------------------------------------
     # Vocabulary access

@@ -159,3 +159,60 @@ def test_fused_extension_matches_bytes_path():
         else:
             assert flat[offs[i] : offs[i + 1]].tolist() == h, repr(texts[i])
     assert any("<s>" in t for t in texts) and flagged, "gate should flag <s>"
+
+
+def test_native_decoder_matches_python():
+    """Native ByteLevel decode (concat + cleanup + ws join) vs the Python
+    path across options, invalid-UTF-8 rows, unknown ids, specials."""
+    tok = trained_tokenizer()
+    if tok._get_native_decoder() is None:
+        pytest.skip("native decoder unavailable")
+    texts = conformance_corpus()
+    rows = tok.encode_batch(texts, backend="host")
+    # weird rows: empty, unknown ids, special ids, id order reversed
+    specials = sorted(tok.special_tokens.values())
+    rows += [[], [999999, 5, -3], specials, list(reversed(rows[0]))]
+    for skip in (False, True):
+        for cleanup in (False, True):
+            exp = [tok._decode_impl(r, skip, cleanup) for r in rows]
+            got = tok.decode_batch_with_options(rows, skip, cleanup)
+            assert got == exp, (skip, cleanup)
+    # ragged mirror
+    import numpy as np
+
+    offs = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum([len(r) for r in rows], out=offs[1:])
+    flat = np.fromiter((i for r in rows for i in r), np.int32, count=int(offs[-1]))
+    exp = [tok._decode_impl(r, False, True) for r in rows]
+    assert tok.decode_batch_ragged(flat, offs) == exp
+
+
+def test_native_decoder_cleanup_table_fuzz():
+    """Cleanup replace table + whitespace collapse must byte-match the
+    Python implementation on adversarial punctuation/space patterns."""
+    tok = trained_tokenizer()
+    if tok._get_native_decoder() is None:
+        pytest.skip("native decoder unavailable")
+    rng = np.random.RandomState(5)
+    pieces = [" .", " ,", '" ', ' "', "' ", " '", "( ", " )", "[ ", " ]",
+              " - ", " -", "- ", "  ", "a", "b ", " c", "\t", "\n", "é", "日",
+              ".", '"', "'", " "]
+    for _ in range(200):
+        text = "".join(pieces[rng.randint(len(pieces))] for _ in range(rng.randint(1, 15)))
+        ids = tok._encode_host(text)
+        exp = tok._decode_impl(ids, False, True)
+        got = tok.decode_batch([ids] * 9)  # batch >= 8 triggers fast path
+        assert got == [exp] * 9, repr(text)
+
+
+def test_set_decoder_invalidates_native_decoder():
+    """set_decoder/set_post_processor must drop the cached native decoder
+    (regression: a stale ByteLevel NativeDecoder survived set_decoder)."""
+    tok = trained_tokenizer()
+    if tok._get_native_decoder() is None:
+        pytest.skip("native decoder unavailable")
+    ids = tok.encode_batch(["hello world"] * 9, backend="host")
+    tok.decode_batch(ids)  # builds + caches the native decoder
+    tok.set_decoder(None)
+    exp = [tok._decode_impl(r, False, True) for r in ids]
+    assert tok.decode_batch(ids) == exp
