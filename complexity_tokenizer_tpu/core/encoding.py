@@ -17,6 +17,30 @@ import numpy as np
 __all__ = ["Encoding", "AddedToken"]
 
 
+class _AuxThunk:
+    """Memoized (offsets, word_ids) producer shared between an Encoding
+    and its lazy slices (overflow windows), so the base computation runs
+    at most once however many views exist."""
+
+    __slots__ = ("fn", "val")
+
+    def __init__(self, fn):
+        self.fn = fn
+        self.val = None
+
+    def __call__(self):
+        if self.val is None:
+            self.val = self.fn()
+        return self.val
+
+    def sliced(self, start, end):
+        base = self
+        return lambda: (
+            base()[0][start:end],
+            base()[1][start:end],
+        )
+
+
 @dataclass
 class Encoding:
     ids: list = field(default_factory=list)
@@ -28,6 +52,29 @@ class Encoding:
     word_ids: list = field(default_factory=list)
     sequence_ids: list = field(default_factory=list)
     overflowing: list = field(default_factory=list)
+
+    def __getattr__(self, name):
+        # Lazy offsets/word_ids: the transformers-style ``__call__`` fast
+        # path defers the (expensive, reference-quirk-exact) offset
+        # computation until something actually reads them.  truncate/_slice
+        # compose onto the pending thunk instead of materializing, so the
+        # common truncate-and-pad flow stays offset-free.  See
+        # Tokenizer._call_batch_fast.
+        if name in ("offsets", "word_ids"):
+            thunk = self.__dict__.pop("_aux_thunk", None)
+            if thunk is not None:
+                offsets, word_ids = thunk()
+                self.offsets = list(offsets)
+                self.word_ids = list(word_ids)
+                return getattr(self, name)
+        raise AttributeError(name)
+
+    def _defer_aux(self, thunk) -> None:
+        """Replace offsets/word_ids with a thunk returning (offsets,
+        word_ids) on first access."""
+        self.__dict__.pop("offsets", None)
+        self.__dict__.pop("word_ids", None)
+        self._aux_thunk = _AuxThunk(thunk)
 
     @staticmethod
     def from_ids(ids: list[int], tokens: list[str]) -> "Encoding":
@@ -83,19 +130,31 @@ class Encoding:
             self.sequence_ids += [None] * pad_count
 
     def _slice(self, start: int, end: int) -> "Encoding":
-        return Encoding(
+        pending = self.__dict__.get("_aux_thunk")
+        enc = Encoding(
             ids=self.ids[start:end],
             type_ids=self.type_ids[start:end],
             tokens=self.tokens[start:end],
             attention_mask=self.attention_mask[start:end],
             special_tokens_mask=self.special_tokens_mask[start:end],
-            offsets=self.offsets[start:end] if len(self.offsets) > start else [],
-            word_ids=self.word_ids[start:end] if len(self.word_ids) > start else [],
+            offsets=(
+                []
+                if pending is not None
+                else self.offsets[start:end] if len(self.offsets) > start else []
+            ),
+            word_ids=(
+                []
+                if pending is not None
+                else self.word_ids[start:end] if len(self.word_ids) > start else []
+            ),
             sequence_ids=(
                 self.sequence_ids[start:end] if len(self.sequence_ids) > start else []
             ),
             overflowing=[],
         )
+        if pending is not None:
+            enc._defer_aux(pending.sliced(start, end))
+        return enc
 
     def _truncate_in_place(self, max_length: int) -> None:
         self.ids = self.ids[:max_length]
@@ -103,8 +162,12 @@ class Encoding:
         self.tokens = self.tokens[:max_length]
         self.attention_mask = self.attention_mask[:max_length]
         self.special_tokens_mask = self.special_tokens_mask[:max_length]
-        self.offsets = self.offsets[:max_length]
-        self.word_ids = self.word_ids[:max_length]
+        pending = self.__dict__.get("_aux_thunk")
+        if pending is not None:
+            self._defer_aux(pending.sliced(0, max_length))
+        else:
+            self.offsets = self.offsets[:max_length]
+            self.word_ids = self.word_ids[:max_length]
         self.sequence_ids = self.sequence_ids[:max_length]
 
     def truncate(self, max_length: int) -> None:

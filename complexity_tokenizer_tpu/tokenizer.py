@@ -973,7 +973,12 @@ class Tokenizer:
                     for a, b in zip(texts, pairs)
                 ]
             else:
-                encs = [self._call_one(t, None, add_special_tokens) for t in texts]
+                encs = self._call_batch_fast(texts, add_special_tokens)
+                if encs is None:
+                    encs = [
+                        self._call_one(t, None, add_special_tokens)
+                        for t in texts
+                    ]
         elif isinstance(text, str):
             encs = [self._call_one(text, text_pair, add_special_tokens)]
         else:
@@ -1005,6 +1010,90 @@ class Tokenizer:
             return_offsets_mapping,
             return_special_tokens_mask,
         )
+
+    def _id_to_token_list(self) -> list:
+        """Dense id -> token-string list (None gaps) for fast gathers."""
+        cached = getattr(self, "_id2tok_cache", None)
+        n = len(self.vocab)
+        if cached is not None and cached[0] == n:
+            return cached[1]
+        id2tok = self.vocab._id_to_token
+        size = (max(id2tok) + 1) if id2tok else 0
+        lst = [None] * size
+        for i, t in id2tok.items():
+            if 0 <= i < size:
+                lst[i] = t
+        self._id2tok_cache = (n, lst)
+        return lst
+
+    def _call_batch_fast(self, texts, add_special_tokens) -> list | None:
+        """Batch Encoding construction for ``__call__`` via the native
+        runtime, with offsets/word_ids computed lazily on first access
+        (Encoding._defer_aux) — the default transformers flow
+        (input_ids / attention_mask) never pays for them.
+
+        Parity notes: the add_special_tokens=True path deliberately skips
+        added-token matching and leaves tokens/sequence_ids at base length
+        (mod.rs:397-446, 372-385); add_special_tokens=False uses the full
+        encode (added tokens honored) with NO offsets, as the reference's
+        separate branch does (bindings/tokenizer.rs:70-97)."""
+        from .core.pretokenizers import ByteLevel as _BL
+
+        if not isinstance(self.pre_tokenizer, _BL):
+            return None
+        native = self._get_native_encoder()
+        if native is None:
+            return None
+        normalized = self._normalize_batch(texts)
+        aps = self._byte_level_prefix_space()
+        id2tok = self._id_to_token_list()
+        nv = len(id2tok)
+
+        if not add_special_tokens:
+            # full encode semantics (added tokens honored)
+            rows = self.encode_batch(texts)
+            return [
+                Encoding.from_ids(
+                    ids,
+                    [id2tok[i] for i in ids if 0 <= i < nv and id2tok[i] is not None],
+                )
+                for ids in rows
+            ]
+
+        # offset-path semantics: no added-token matching at all
+        rows = native.encode_rows_fused(normalized, aps, None)
+        if rows is None:
+            rows = native.encode_batch(self._prepare_bytes(normalized))
+        spec_ids = list(self.special_tokens.values())
+        pp = self.post_processor
+        encs = []
+        for text, ids in zip(texts, rows):
+            base_n = len(ids)
+            tokens = [
+                id2tok[i] if 0 <= i < nv and id2tok[i] is not None else ""
+                for i in ids
+            ]
+            processed = pp.process(list(ids), None) if pp is not None else list(ids)
+            added = len(processed) - base_n
+            enc = Encoding(
+                ids=processed,
+                type_ids=[0] * (base_n + added),
+                tokens=tokens,
+                attention_mask=[1] * (base_n + added),
+                special_tokens_mask=[0] * base_n + [1] * added,
+                offsets=[],
+                word_ids=[],
+                sequence_ids=[0] * base_n,
+                overflowing=[],
+            )
+            enc.mark_special_tokens(spec_ids)
+            enc._defer_aux(
+                lambda t=text: (
+                    lambda e: (e.offsets, e.word_ids)
+                )(self._encode_single_to_encoding(t, 0))
+            )
+            encs.append(enc)
+        return encs
 
     def _call_one(self, text, pair, add_special_tokens) -> Encoding:
         if pair is not None:

@@ -296,3 +296,45 @@ def test_explicit_setters_and_callable_special_tokens():
     # both attribute-style (mapping) and reference call-style access work
     assert isinstance(tok.special_tokens, dict)
     assert tok.special_tokens() == dict(tok.special_tokens)
+
+
+def test_call_fast_path_full_field_parity():
+    """__call__'s native fast path (lazy offsets) must match the eager
+    offset-tracking path on every Encoding field, including stride-overflow
+    windows and offsets materialized after truncation."""
+    tok = trained_tokenizer()
+    texts = [
+        "hello world, it's fine",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short",
+        "numbers 123 456 and punct !?",
+    ] * 3
+    fast = tok(texts, truncation=True, max_length=8, stride=3,
+               return_offsets_mapping=True)
+    slow = [tok._call_one(t, None, True) for t in texts]
+    for e in slow:
+        if len(e) > 8:
+            e.truncate_with_stride(8, 3)
+    for fe, se in zip(fast.encodings(), slow):
+        assert fe.ids == se.ids
+        assert fe.tokens == se.tokens
+        assert fe.offsets == se.offsets
+        assert fe.word_ids == se.word_ids
+        assert fe.attention_mask == se.attention_mask
+        assert fe.special_tokens_mask == se.special_tokens_mask
+        assert fe.type_ids == se.type_ids
+        assert fe.sequence_ids == se.sequence_ids
+        assert len(fe.overflowing) == len(se.overflowing)
+        for fo, so in zip(fe.overflowing, se.overflowing):
+            assert (fo.ids, fo.offsets, fo.word_ids) == (so.ids, so.offsets, so.word_ids)
+
+
+def test_call_no_special_tokens_branch_parity():
+    """add_special_tokens=False takes the full-encode branch (added tokens
+    honored, NO offsets) exactly like bindings/tokenizer.rs:70-97."""
+    tok = trained_tokenizer()
+    texts = ["hello world", "it's a <s> test"]
+    be = tok(texts, add_special_tokens=False)
+    for enc, t in zip(be.encodings(), texts):
+        assert enc.ids == tok.encode(t)
+        assert enc.offsets == []
