@@ -209,57 +209,88 @@ class InlBpeTrainer:
     def _learn_merges(self, words, freqs, pair_words) -> None:
         cfg = self.config
         target = cfg.vocab_size
-        rebuild_interval = 100
         iteration = 0
         target_merges = max(target - len(self.vocab), 0)
 
-        while len(self.vocab) < target:
-            # negated scores -> min-heap pops the max score
-            heap = [(-s, p) for s, p in self._scores()]
+        def mint(pair):
+            nonlocal iteration
+            a, b = pair
+            merged = self.vocab_r[a] + self.vocab_r[b]
+            new_id = len(self.vocab)
+            self.vocab[merged] = new_id
+            self.vocab_r[new_id] = merged
+            self.merges.append((self.vocab_r[a], self.vocab_r[b]))
+            touched = self._apply_merge(words, freqs, pair_words, pair, new_id)
+            v_a = self.velocity.get(a, 0.0)
+            v_b = self.velocity.get(b, 0.0)
+            self.velocity[new_id] = (v_a + v_b) / 2.0
+            iteration += 1
+            if iteration % 1000 == 0 and target_merges:
+                print(
+                    f"\r  {iteration}/{target_merges}"
+                    f" ({iteration / target_merges * 100:.1f}%)",
+                    end="",
+                    file=sys.stderr,
+                )
+            return touched
+
+        if cfg.inl_gate == 0.0:
+            # Classic mode (score == freq): one exact lazy-deletion heap —
+            # entries carry the freq they were pushed with and are valid
+            # only if it still matches, so every pop is the true maximum.
+            # (The reference rebuilds every 100 merges and accepts stale
+            # scores inside the window, trainer.rs:406-446 — but its
+            # tie-order comes from a randomized HashMap iteration, i.e. the
+            # reference trainer is nondeterministic; exact-max selection is
+            # deterministic and at least as good, so merge tables differ
+            # only within the reference's own run-to-run variance.)
+            pf = self.pair_freqs
+            heap = [(-f, p) for p, f in pf.items() if f > 0]
             heapq.heapify(heap)
-            for _ in range(rebuild_interval):
-                if len(self.vocab) >= target:
+            while len(self.vocab) < target and heap:
+                nf, pair = heapq.heappop(heap)
+                if pf.get(pair, 0) != -nf:
+                    continue  # stale
+                for p in mint(pair):
+                    f = pf.get(p, 0)
+                    if f > 0:
+                        heapq.heappush(heap, (-f, p))
+        else:
+            # INL dynamics: scores drift with every merge, so rebuild the
+            # heap every 100 merges exactly like trainer.rs:406-516
+            # (stale entries accepted within the window when still live).
+            rebuild_interval = 100
+            while len(self.vocab) < target:
+                heap = [(-s, p) for s, p in self._scores()]
+                heapq.heapify(heap)
+                if not heap:
                     break
-                pair = None
-                while heap:
-                    _, cand = heapq.heappop(heap)
-                    if self.pair_freqs.get(cand, 0) > 0:
-                        pair = cand
+                for _ in range(rebuild_interval):
+                    if len(self.vocab) >= target:
                         break
-                if pair is None:
-                    break
-                a, b = pair
-                merged = self.vocab_r[a] + self.vocab_r[b]
-                new_id = len(self.vocab)
-                self.vocab[merged] = new_id
-                self.vocab_r[new_id] = merged
-                self.merges.append((self.vocab_r[a], self.vocab_r[b]))
-                self._apply_merge(words, freqs, pair_words, pair, new_id)
-                v_a = self.velocity.get(a, 0.0)
-                v_b = self.velocity.get(b, 0.0)
-                self.velocity[new_id] = (v_a + v_b) / 2.0
-                iteration += 1
-                if iteration % 1000 == 0 and target_merges:
-                    print(
-                        f"\r  {iteration}/{target_merges}"
-                        f" ({iteration / target_merges * 100:.1f}%)",
-                        end="",
-                        file=sys.stderr,
-                    )
-            if not any(v > 0 for v in self.pair_freqs.values()):
-                break
+                    pair = None
+                    while heap:
+                        _, cand = heapq.heappop(heap)
+                        if self.pair_freqs.get(cand, 0) > 0:
+                            pair = cand
+                            break
+                    if pair is None:
+                        break
+                    mint(pair)
         if target_merges:
             print(f"\r  {iteration}/{target_merges} done", file=sys.stderr)
 
-    def _apply_merge(self, words, freqs, pair_words, pair, new_id) -> None:
+    def _apply_merge(self, words, freqs, pair_words, pair, new_id):
         """Merge + incremental pair deltas (trainer.rs:519-588), touching
-        only words known to contain the pair."""
+        only words known to contain the pair.  Returns the set of pairs
+        whose counts changed (for incremental heap updates)."""
         a, b = pair
         self.pair_freqs.pop(pair, None)
         affected = pair_words.pop(pair, set())
         new_token_freq = 0
         pf = self.pair_freqs
         pw = pair_words
+        touched = set()
         for wi in affected:
             toks = words[wi]
             f = freqs[wi]
@@ -269,19 +300,23 @@ class InlBpeTrainer:
                     if i > 0:
                         left = (toks[i - 1], a)
                         pf[left] -= f
+                        touched.add(left)
                     if i + 2 < len(toks):
                         right = (b, toks[i + 2])
                         pf[right] -= f
+                        touched.add(right)
                     toks[i] = new_id
                     del toks[i + 1]
                     if i > 0:
                         nl = (toks[i - 1], new_id)
                         pf[nl] += f
                         pw[nl].add(wi)
+                        touched.add(nl)
                     if i + 1 < len(toks):
                         nr = (new_id, toks[i + 1])
                         pf[nr] += f
                         pw[nr].add(wi)
+                        touched.add(nr)
                     new_token_freq += f
                 else:
                     i += 1
@@ -290,10 +325,12 @@ class InlBpeTrainer:
         if b in self.token_freqs:
             self.token_freqs[b] = max(self.token_freqs[b] - new_token_freq, 0)
         self.token_freqs[new_id] = new_token_freq
-        # prune dead entries
-        for p in [p for p, v in pf.items() if v <= 0]:
-            del pf[p]
-            pair_words.pop(p, None)
+        # prune exactly the entries this merge drove to zero — no dict scan
+        for p in touched:
+            if pf.get(p, 0) <= 0:
+                pf.pop(p, None)
+                pair_words.pop(p, None)
+        return touched
 
     # ------------------------------------------------------------------
     # Accessors / save
