@@ -551,6 +551,46 @@ class NativeDecoder:
         return texts, flagged
 
 
+_scan_ctx = None
+_scan_keep = None
+
+
+def scanner_ctx():
+    """A minimal native context usable for pure scanning (no vocab):
+    word boundaries / word counting for trainers."""
+    global _scan_ctx, _scan_keep
+    lib = load_library()
+    if lib is None:
+        return None
+    if _scan_ctx is None:
+        from ..utils.unicode_tables import gpt2_class_table
+
+        cls = np.ascontiguousarray(gpt2_class_table())
+        empty = np.zeros(1, np.int32)
+        bt = np.full(256, -1, np.int32)
+        _scan_keep = (cls, empty, bt)
+        _scan_ctx = lib.ctok_new(
+            0, _ptr(empty), _ptr(empty), _ptr(empty), _ptr(empty), 0,
+            _ptr(bt), _ptr(cls), len(cls),
+        )
+    return _scan_ctx
+
+
+def count_words(texts: list[str], min_len: int = 1,
+                n_threads: int | None = None) -> dict[bytes, int] | None:
+    """Corpus word-frequency count via the native scanner: {raw word
+    bytes: count}.  None when the extension surface is unavailable."""
+    ext = load_ext()
+    if ext is None or not hasattr(ext, "count_words"):
+        return None
+    ctx = scanner_ctx()
+    if ctx is None:
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    return ext.count_words(ctx, texts, int(min_len), int(n_threads))
+
+
 def match_any(data: list[bytes], patterns: list[bytes],
               n_threads: int | None = None) -> np.ndarray | None:
     """Per-text flags: True iff any pattern byte-string occurs in the text.

@@ -84,15 +84,65 @@ class InlBpeTrainer:
             return self.config.pre_tokenizer.pre_tokenize(text)
         return PT.ByteLevel(add_prefix_space=False).pre_tokenize(text)
 
+    def _count_words(self, texts) -> Counter:
+        """Word-frequency count: the native scanner (C++, threaded) when
+        the config is the default ByteLevel(no prefix space), else the
+        Python pre-tokenize path.  Word keys are byte-level ENCODED
+        strings either way (one alphabet char per raw byte, so the
+        min_word_length filter is identical in both)."""
+        cfg = self.config
+        pt = cfg.pre_tokenizer
+        eligible = pt is None or (
+            isinstance(pt, PT.ByteLevel) and not pt.add_prefix_space
+        )
+        if eligible:
+            texts = list(texts)
+            norm = cfg.normalizer
+            if norm is not None:
+                from ..core.normalizers import NFC, NFD, NFKC, NFKD
+
+                if isinstance(norm, (NFC, NFD, NFKC, NFKD)):
+                    normalized = [
+                        t if t.isascii() else norm.normalize(t) for t in texts
+                    ]
+                else:
+                    normalized = [norm.normalize(t) for t in texts]
+            else:
+                normalized = texts
+            try:
+                from ..native import count_words as native_count
+
+                raw = native_count(normalized, cfg.min_word_length)
+            except Exception:
+                raw = None
+            if raw is not None:
+                from ..utils.bytelevel import encode_bytes
+
+                return Counter({encode_bytes(k): v for k, v in raw.items()})
+            texts_iter = normalized
+            # already normalized: count via pre-tokenizer only
+            ptok = pt or PT.ByteLevel(add_prefix_space=False)
+            wf: Counter = Counter()
+            for text in texts_iter:
+                for word in ptok.pre_tokenize(text):
+                    if len(word) >= cfg.min_word_length:
+                        wf[word] += 1
+            return wf
+        wf = Counter()
+        for text in texts:
+            for word in self._pretokenize(text):
+                if len(word) >= cfg.min_word_length:
+                    wf[word] += 1
+        return wf
+
     def train(self, files) -> None:
         print("Step 1: Counting word frequencies...")
         word_freqs: Counter = Counter()
         for path in files:
             with open(path, "r", encoding="utf-8") as f:
-                for line in f:
-                    for word in self._pretokenize(line.rstrip("\n")):
-                        if len(word) >= self.config.min_word_length:
-                            word_freqs[word] += 1
+                word_freqs.update(
+                    self._count_words([line.rstrip("\n") for line in f])
+                )
         word_freqs = Counter(
             {w: f for w, f in word_freqs.items() if f >= self.config.min_frequency}
         )
@@ -101,11 +151,7 @@ class InlBpeTrainer:
 
     def train_from_texts(self, texts) -> None:
         print("Step 1: Counting word frequencies (ByteLevel)...")
-        word_freqs: Counter = Counter()
-        for text in texts:
-            for word in self._pretokenize(text):
-                if len(word) >= self.config.min_word_length:
-                    word_freqs[word] += 1
+        word_freqs = self._count_words(texts)
         word_freqs = Counter(
             {w: f for w, f in word_freqs.items() if f >= self.config.min_frequency}
         )
@@ -116,10 +162,7 @@ class InlBpeTrainer:
 
     def count_batch(self, texts) -> None:
         """Streaming accumulation (trainer.rs:209-222)."""
-        for text in texts:
-            for word in self._pretokenize(text):
-                if len(word) >= self.config.min_word_length:
-                    self._word_freqs_accumulator[word] += 1
+        self._word_freqs_accumulator.update(self._count_words(texts))
 
     def finish_training(self) -> None:
         word_freqs = Counter(

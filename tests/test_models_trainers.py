@@ -181,3 +181,35 @@ def test_inl_byte_alphabet_size():
     enc = bytes_to_unicode()
     assert enc[ord("a")] == "a"
     assert enc[ord("Z")] == "Z"
+
+
+def test_trainer_native_count_matches_python():
+    """The native corpus scanner's word counts must equal the ByteLevel
+    pre-tokenize counts exactly (keys are encoded words)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from complexity_tokenizer_tpu.core import pretokenizers as PT
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    rng = np.random.RandomState(3)
+    alphabet = list("abc ABC '!.12é日 \n\t0")
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+             for _ in range(300)]
+    texts += ["don't it's we're I'll", "  lead", "trail  ", "", "ééé 日本語"]
+    tr = InlBpeTrainer(TrainerConfig(vocab_size=300, min_frequency=1))
+    got = tr._count_words(texts)
+    ptok = PT.ByteLevel(add_prefix_space=False)
+    norm = tr.config.normalizer
+    exp = Counter()
+    for t in texts:
+        if norm is not None:
+            t = norm.normalize(t)
+        for w in ptok.pre_tokenize(t):
+            if len(w) >= tr.config.min_word_length:
+                exp[w] += 1
+    assert got == exp
