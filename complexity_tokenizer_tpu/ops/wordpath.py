@@ -57,12 +57,20 @@ class DeviceWordEncoder:
         p = self.pipeline
         byte_token_table = p.byte_token_table
 
+        from .pallas_kernels import pallas_available, pallas_seed_tokens
+
+        use_pallas = pallas_available()
+
         def fn(arr, lens):
-            tokens = byte_token_table[arr.astype(jnp.int32)]
-            W = arr.shape[1]
-            pos = jnp.arange(W, dtype=jnp.int32)[None, :]
-            valid = pos < lens[:, None]
-            tokens = jnp.where(valid, tokens, -1)
+            if use_pallas:
+                # fused VMEM seed kernel (gather + mask + tombstone fill)
+                tokens = pallas_seed_tokens(arr, lens, byte_token_table)
+            else:
+                tokens = byte_token_table[arr.astype(jnp.int32)]
+                W = arr.shape[1]
+                pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+                valid = pos < lens[:, None]
+                tokens = jnp.where(valid, tokens, -1)
             return merge_word_rows(
                 tokens, p.disp, p.rows, p.table_size, p.n_buckets
             )

@@ -125,3 +125,30 @@ def test_word_path_matches_host():
     assert tok.encode_batch(texts, backend="device") == [
         tok._encode_host(t) for t in texts
     ]
+
+
+def test_pallas_seed_matches_xla():
+    """Pallas fused seed kernel (interpret mode on CPU) vs the plain-XLA
+    gather+mask it replaces."""
+    import numpy as np
+
+    jnp = pytest.importorskip("jax.numpy")
+    from complexity_tokenizer_tpu.ops.pallas_kernels import pallas_seed_tokens
+
+    rng = np.random.RandomState(7)
+    table = rng.randint(-1, 500, size=256).astype(np.int32)
+    for B, W in ((16, 128), (4, 256)):
+        arr = rng.randint(0, 256, size=(B, W)).astype(np.uint8)
+        lens = rng.randint(0, W + 1, size=B).astype(np.int32)
+        got = np.asarray(
+            pallas_seed_tokens(
+                jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(table),
+                interpret=True,
+            )
+        )
+        exp = np.where(
+            np.arange(W)[None, :] < lens[:, None],
+            table[arr.astype(np.int32)],
+            -1,
+        )
+        assert np.array_equal(got, exp)
