@@ -292,6 +292,20 @@ class NativeEncoder:
         except Exception:
             pass
 
+    def encode_one_fused(self, text: str, add_prefix_space: bool,
+                         patterns: list[bytes] | None):
+        """Single-text encode in one C call (UTF-8 view, prefix space,
+        added-token gate, encode, list build).  Returns None when an
+        added-token pattern matches or the extension is unavailable —
+        distinguish with ``ext_available``."""
+        ext = load_ext()
+        if ext is None or not hasattr(ext, "encode_one"):
+            raise RuntimeError("extension surface unavailable")
+        return ext.encode_one(
+            self._ctx, text, int(bool(add_prefix_space)),
+            patterns if patterns is not None else None,
+        )
+
     def encode(self, data: bytes) -> list[int]:
         n = len(data)
         if n == 0:

@@ -1236,7 +1236,90 @@ static PyObject* ctok_py_count_words(PyObject*, PyObject* args) {
     return d;
 }
 
+// Single-text encode with minimal overhead: cached UTF-8 view, optional
+// prefix space, added-token gate, encode, PyList build — one C call.
+// Returns None when an added-token pattern matches (caller's host path).
+static PyObject* ctok_py_encode_one(PyObject*, PyObject* args) {
+    unsigned long long addr;
+    PyObject* text_obj;
+    int aps;
+    PyObject* pats_obj;
+    if (!PyArg_ParseTuple(args, "KUiO", &addr, &text_obj, &aps, &pats_obj))
+        return nullptr;
+    Ctx* c = (Ctx*)(uintptr_t)addr;
+    Py_ssize_t sz;
+    const char* u = PyUnicode_AsUTF8AndSize(text_obj, &sz);
+    if (!u) return nullptr;
+    const uint8_t* data = (const uint8_t*)u;
+    int64_t n = (int64_t)sz;
+    // stack buffer for short texts, heap for long
+    uint8_t stack_buf[1024];
+    std::unique_ptr<uint8_t[]> heap_buf;
+    bool need_prefix = aps && n > 0 && data[0] != ' ';
+    if (need_prefix) {
+        uint8_t* b;
+        if (n + 1 <= (int64_t)sizeof(stack_buf)) {
+            b = stack_buf;
+        } else {
+            heap_buf.reset(new uint8_t[(size_t)n + 1]);
+            b = heap_buf.get();
+        }
+        b[0] = ' ';
+        std::memcpy(b + 1, data, (size_t)n);
+        data = b;
+        ++n;
+    }
+    // added-token gate
+    Py_ssize_t n_pats = 0;
+    if (pats_obj != Py_None) {
+        PyObject* pats_seq =
+            PySequence_Fast(pats_obj, "patterns must be a sequence");
+        if (!pats_seq) return nullptr;
+        n_pats = PySequence_Fast_GET_SIZE(pats_seq);
+        for (Py_ssize_t p = 0; p < n_pats; ++p) {
+            char* pb;
+            Py_ssize_t pl;
+            if (PyBytes_AsStringAndSize(PySequence_Fast_GET_ITEM(pats_seq, p),
+                                        &pb, &pl) < 0) {
+                Py_DECREF(pats_seq);
+                return nullptr;
+            }
+            if (pl > 0 && pl <= n &&
+                memmem(data, (size_t)n, pb, (size_t)pl)) {
+                Py_DECREF(pats_seq);
+                Py_RETURN_NONE;
+            }
+        }
+        Py_DECREF(pats_seq);
+    }
+    int32_t stack_out[1024];
+    std::unique_ptr<int32_t[]> heap_out;
+    int32_t* out = stack_out;
+    if (n > (int64_t)(sizeof(stack_out) / sizeof(int32_t))) {
+        heap_out.reset(new int32_t[(size_t)(n > 0 ? n : 1)]);
+        out = heap_out.get();
+    }
+    std::vector<int32_t> scratch;
+    scratch.reserve(64);
+    int64_t m = encode_text(c, &c->caches[0], &c->short_caches[0], data, n,
+                            out, scratch);
+    PyObject* lst = PyList_New((Py_ssize_t)m);
+    if (!lst) return nullptr;
+    for (int64_t i = 0; i < m; ++i) {
+        PyObject* v = PyLong_FromLong(out[i]);
+        if (!v) {
+            Py_DECREF(lst);
+            return nullptr;
+        }
+        PyList_SET_ITEM(lst, (Py_ssize_t)i, v);
+    }
+    return lst;
+}
+
 static PyMethodDef CtokExtMethods[] = {
+    {"encode_one", ctok_py_encode_one, METH_VARARGS,
+     "encode_one(ctx, text, add_prefix_space, patterns_or_None) -> "
+     "list[int] | None (None = added-token candidate)"},
     {"count_words", ctok_py_count_words, METH_VARARGS,
      "count_words(ctx, texts, min_len, n_threads) -> dict[bytes, int]"},
     {"encode_rows", ctok_py_encode_rows, METH_VARARGS,

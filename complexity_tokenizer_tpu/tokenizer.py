@@ -402,21 +402,35 @@ class Tokenizer:
         return min_pos
 
     def encode(self, text: str) -> list[int]:
-        normalized = self.normalizer.normalize(text) if self.normalizer else text
+        norm = self.normalizer
+        normalized = (
+            text if norm is None or (self._norm_ascii_ok and text.isascii())
+            else norm.normalize(text)
+        )
         native = self._get_native_encoder()
-        if native is not None and self._text_fastpath_eligible(normalized):
-            from .core.pretokenizers import ByteLevel as _BL
-
-            pt = self.pre_tokenizer
-            if (
-                isinstance(pt, _BL)
-                and pt.add_prefix_space
-                and normalized
-                and not normalized.startswith(" ")
-            ):
-                normalized = " " + normalized
-            return native.encode(normalized.encode("utf-8"))
+        if native is not None:
+            pats = self._added_byte_patterns() if self.added_tokens else None
+            try:
+                ids = native.encode_one_fused(
+                    normalized, self._byte_level_prefix_space(), pats
+                )
+                if ids is not None:
+                    return ids
+                # added-token candidate: exact host matcher
+                return self._encode_host(normalized, already_normalized=True)
+            except RuntimeError:
+                pass
+            if self._text_fastpath_eligible(normalized):
+                data = self._prepare_bytes([normalized])[0]
+                return native.encode(data)
         return self._encode_host(normalized, already_normalized=True)
+
+    @property
+    def _norm_ascii_ok(self) -> bool:
+        """True when the normalizer is the identity on ASCII text."""
+        from .core.normalizers import NFC, NFD, NFKC, NFKD
+
+        return isinstance(self.normalizer, (NFC, NFD, NFKC, NFKD))
 
     def _get_native_encoder(self):
         """Native (C++) single-text encoder for ByteLevel BPE configs."""
