@@ -61,6 +61,49 @@ class WordPieceModel:
             out.extend(self.tokenize_word(word))
         return out
 
+    def _get_device(self):
+        """Lazily-built device longest-match kernel (ops/wordpiece_device);
+        None when the vocab is ineligible."""
+        if getattr(self, "_device_built", False):
+            return self._device
+        self._device_built = True
+        self._device = None
+        try:
+            from ..ops.wordpiece_device import (
+                WordPieceDevice,
+                build_wordpiece_tables,
+            )
+
+            tables = build_wordpiece_tables(self)
+            if tables is not None:
+                self._device = WordPieceDevice(tables)
+        except Exception:
+            self._device = None
+        return self._device
+
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        """Batch encode: distinct words matched on device (greedy
+        longest-match kernel), assembled per text; host fallback when the
+        device tables are ineligible."""
+        dev = self._get_device()
+        if dev is None:
+            return [self.encode(t) for t in texts]
+        rows = [t.split() for t in texts]
+        uniq = sorted({w for r in rows for w in r})
+        if not uniq:
+            return [[] for _ in texts]
+        encoded = dev.tokenize_words(uniq)
+        table = dict(zip(uniq, encoded))
+        for i in getattr(dev, "last_poisoned", []):
+            table[uniq[i]] = self.tokenize_word(uniq[i])
+        out = []
+        for r in rows:
+            ids: list[int] = []
+            for w in r:
+                ids.extend(table[w])
+            out.append(ids)
+        return out
+
     def decode(self, ids) -> str:
         result = ""
         prefix = self.continuing_subword_prefix

@@ -213,3 +213,62 @@ def test_trainer_native_count_matches_python():
             if len(w) >= tr.config.min_word_length:
                 exp[w] += 1
     assert got == exp
+
+
+def test_wordpiece_device_matches_host_fuzz():
+    """Device greedy longest-match kernel (rolling-hash CHD + exact verify)
+    vs the host scalar loop, over a trained-style vocab and adversarial
+    words (SURVEY C17)."""
+    import numpy as np
+
+    from complexity_tokenizer_tpu.models.wordpiece import WordPieceModel
+    from complexity_tokenizer_tpu.ops.wordpiece_device import (
+        WordPieceDevice,
+        build_wordpiece_tables,
+    )
+
+    rng = np.random.RandomState(9)
+    # vocab with singles, multi-char pieces, continuations, unicode
+    vocab = {"[UNK]": 0}
+    pieces = set()
+    for _ in range(400):
+        n = rng.randint(1, 6)
+        pieces.add("".join(rng.choice(list("abcdeé日")) for _ in range(n)))
+    for p in sorted(pieces):
+        vocab.setdefault(p, len(vocab))
+        vocab.setdefault("##" + p, len(vocab))
+    m = WordPieceModel(vocab)
+    t = build_wordpiece_tables(m)
+    assert t is not None
+    dev = WordPieceDevice(t)
+
+    words = []
+    for _ in range(300):
+        n = rng.randint(0, 20)
+        words.append("".join(rng.choice(list("abcdefé日z")) for _ in range(n)))
+    words += ["x" * 150, "a" * 100, "a" * 101, ""]  # UNK-limit edges
+    got = dev.tokenize_words(words)
+    for i in getattr(dev, "last_poisoned", []):
+        got[i] = m.tokenize_word(words[i])
+    exp = [m.tokenize_word(w) for w in words]
+    assert got == exp
+
+    # batch API end-to-end
+    texts = [" ".join(words[k : k + 7]) for k in range(0, 280, 7)]
+    assert m.encode_batch(texts) == [m.encode(t_) for t_ in texts]
+
+
+def test_wordpiece_device_no_unk_in_vocab():
+    from complexity_tokenizer_tpu.models.wordpiece import WordPieceModel
+    from complexity_tokenizer_tpu.ops.wordpiece_device import (
+        WordPieceDevice,
+        build_wordpiece_tables,
+    )
+
+    m = WordPieceModel({"ab": 0, "##c": 1}, unk_token="[UNK]")  # UNK absent
+    t = build_wordpiece_tables(m)
+    dev = WordPieceDevice(t)
+    words = ["abc", "abz", "zz", "ab"]
+    got = dev.tokenize_words(words)
+    exp = [m.tokenize_word(w) for w in words]
+    assert got == exp
