@@ -57,6 +57,35 @@ class UnigramModel:
     def encode(self, text: str) -> list[int]:
         return self.tokenize(text)
 
+    def _get_device(self):
+        """Lazily-built device Viterbi kernel; None when ineligible."""
+        if getattr(self, "_device_built", False):
+            return self._device
+        self._device_built = True
+        self._device = None
+        try:
+            from ..ops.unigram_device import UnigramDevice, build_unigram_tables
+
+            tables = build_unigram_tables(self)
+            if tables is not None:
+                self._device = UnigramDevice(tables)
+        except Exception:
+            self._device = None
+        return self._device
+
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        """Batch Viterbi on device (scan DP over rolling-hash CHD piece
+        lookups, SURVEY C17); rows whose decisions fall inside the f32
+        error bound of the reference's f64 DP — or that fail the exact
+        piece verify — are re-segmented on host, so output is bit-exact."""
+        dev = self._get_device()
+        if dev is None:
+            return [self.tokenize(t) for t in texts]
+        rows = dev.tokenize_texts(list(texts))
+        for i in getattr(dev, "last_poisoned", []):
+            rows[i] = self.tokenize(texts[i])
+        return rows
+
     def decode(self, ids) -> str:
         return "".join(
             self.vocab_r[int(i)] for i in ids if int(i) in self.vocab_r

@@ -32,7 +32,8 @@ import numpy as np
 
 from .hashtable import INF_RANK, build_chd_table
 
-__all__ = ["WordPieceDeviceTables", "build_wordpiece_tables", "WordPieceDevice"]
+__all__ = ["WordPieceDeviceTables", "build_wordpiece_tables", "WordPieceDevice",
+           "WordLevelDevice", "build_wordlevel_tables"]
 
 _W = 128  # codepoint lanes per word row
 _B1 = np.uint32(0x01000193)
@@ -279,3 +280,136 @@ class WordPieceDevice:
             rows.append(out[i, out[i] >= 0].tolist())
         self.last_poisoned = [i for i in range(n) if poison[i]] + skipped
         return rows
+
+
+def build_wordlevel_tables(model) -> WordPieceDeviceTables | None:
+    """Tables for a models.wordlevel.WordLevelModel: whole-word hash ->
+    CHD -> id with exact verify (models.rs:316-362).  Reuses the
+    WordPiece table layout with no continuation seeds."""
+    vocab = model.vocab
+    if not vocab:
+        return None
+    max_id = max(vocab.values())
+    if max_id > 2_000_000:
+        return None
+    keys: dict[tuple[int, int], int] = {}
+    Lt = 1
+    stripped: dict[int, list[int]] = {}
+    for tok, tid in vocab.items():
+        chars = [ord(c) for c in tok]
+        if not chars or len(chars) > _W:
+            # empty or over-wide vocab tokens: host lookup only
+            return None
+        Lt = max(Lt, len(chars))
+        h1 = int(_poly_hash_np(chars, _B1, np.uint32(0)))
+        h2 = int(_poly_hash_np(chars, _B2, np.uint32(0)))
+        key = (
+            h1 if h1 < 1 << 31 else h1 - (1 << 32),
+            h2 if h2 < 1 << 31 else h2 - (1 << 32),
+        )
+        if key in keys:
+            return None
+        keys[key] = tid
+        stripped[tid] = chars
+    chd = build_chd_table(keys)
+    if chd is None:
+        return None
+    token_chars = np.full((max_id + 1, Lt), -1, np.int32)
+    token_lens = np.zeros(max_id + 1, np.int32)
+    for tid, chars in stripped.items():
+        token_chars[tid, : len(chars)] = chars
+        token_lens[tid] = len(chars)
+    unk_id = vocab.get(model.unk_token, 0)
+    return WordPieceDeviceTables(
+        chd=chd,
+        token_chars=token_chars,
+        token_lens=token_lens,
+        max_token_len=Lt,
+        unk_id=int(unk_id),
+        max_input_chars=1 << 30,
+    )
+
+
+class WordLevelDevice:
+    """One whole-word CHD probe + exact verify per word; UNK on miss."""
+
+    def __init__(self, tables: WordPieceDeviceTables):
+        import jax.numpy as jnp
+
+        self.t = tables
+        self.disp = jnp.asarray(tables.chd.disp)
+        self.rows = jnp.asarray(tables.chd.rows)
+        self.token_chars = jnp.asarray(tables.token_chars)
+        self.token_lens = jnp.asarray(tables.token_lens)
+
+    @functools.cached_property
+    def _fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.jax_setup import setup_compilation_cache
+        from .hashtable import chd_lookup_jnp
+
+        setup_compilation_cache()
+        t = self.t
+        disp, rows = self.disp, self.rows
+        token_chars, token_lens = self.token_chars, self.token_lens
+        size, n_buckets = t.chd.size, t.chd.n_buckets
+        Lt = t.max_token_len
+        unk = jnp.int32(t.unk_id)
+
+        def fn(chars, lens):
+            B, W = chars.shape
+            u = jnp.where(chars >= 0, chars.astype(jnp.uint32) + 1, 0)
+
+            def whole_hash(base):
+                def step(h, c):
+                    h2 = jnp.where(c > 0, h * base + c, h)
+                    return h2, None
+                h, _ = jax.lax.scan(step, jnp.zeros(B, jnp.uint32), u.T)
+                return h
+
+            h1 = whole_hash(_B1).astype(jnp.int32)
+            h2 = whole_hash(_B2).astype(jnp.int32)
+            valid = lens > 0
+            tid = chd_lookup_jnp(disp, rows, size, n_buckets, h1, h2, valid)
+            hit = tid != INF_RANK
+            safe = jnp.maximum(tid, 0)
+            within = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, Lt), 1)
+                < lens[:, None]
+            )
+            trow = token_chars[jnp.where(hit, safe, 0)]
+            ok = (
+                jnp.all(
+                    jnp.where(within, trow == chars[:, :Lt], True), axis=1
+                )
+                & (token_lens[jnp.where(hit, safe, 0)] == lens)
+                & (lens <= Lt)
+            )
+            out = jnp.where(hit & ok, tid, unk)
+            return jnp.where(valid, out, -1)
+
+        return jax.jit(fn)
+
+    def lookup_words(self, words: list[str]) -> list[int]:
+        n = len(words)
+        if n == 0:
+            return []
+        B = 8
+        while B < n:
+            B <<= 1
+        chars = np.full((B, _W), -1, np.int32)
+        lens = np.zeros(B, np.int32)
+        long_idx = []
+        for i, w in enumerate(words):
+            cps = [ord(c) for c in w]
+            if len(cps) > _W:
+                long_idx.append(i)
+                continue
+            chars[i, : len(cps)] = cps
+            lens[i] = len(cps)
+        out = np.asarray(self._fn(chars, lens))[:n].tolist()
+        for i in long_idx:  # longer than the lane width: host lookup
+            out[i] = self.t.unk_id
+        return out

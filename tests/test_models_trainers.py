@@ -272,3 +272,53 @@ def test_wordpiece_device_no_unk_in_vocab():
     got = dev.tokenize_words(words)
     exp = [m.tokenize_word(w) for w in words]
     assert got == exp
+
+
+def test_wordlevel_device_matches_host():
+    """Device whole-word CHD lookup + exact verify vs dict lookup."""
+    import numpy as np
+
+    from complexity_tokenizer_tpu.models.wordlevel import WordLevelModel
+
+    rng = np.random.RandomState(4)
+    words = sorted({"".join(rng.choice(list("abcé日")) for _ in range(rng.randint(1, 9)))
+                    for _ in range(300)})
+    vocab = {"<unk>": 0}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    m = WordLevelModel(vocab)
+    assert m._get_device() is not None
+    texts = [" ".join(rng.choice(words + ["zzz", "missing", "日日日日"]) for _ in range(10))
+             for _ in range(40)] + ["", "  ", "x" * 300]
+    assert m.encode_batch(texts) == [m.encode(t) for t in texts]
+
+
+def test_unigram_device_matches_host_fuzz():
+    """Device Viterbi (scan DP + CHD piece lookup + f32-ambiguity
+    poisoning) must be bit-exact vs the host f64 DP through encode_batch
+    (SURVEY C17)."""
+    import numpy as np
+
+    from complexity_tokenizer_tpu.models.unigram import UnigramModel
+
+    rng = np.random.RandomState(6)
+    pieces = sorted({"".join(rng.choice(list("abxé日")) for _ in range(rng.randint(1, 5)))
+                     for _ in range(150)})
+    vocab = [("<unk>", -10.0)] + [(p, float(-rng.uniform(1, 8))) for p in pieces]
+    m = UnigramModel(vocab)
+    assert m._get_device() is not None
+    texts = ["".join(rng.choice(list("abxézq日")) for _ in range(rng.randint(0, 35)))
+             for _ in range(250)]
+    texts += ["", "q", "qq", "a" * 120, "ab" * 60]
+    assert m.encode_batch(texts) == [m.tokenize(t) for t in texts]
+
+
+def test_unigram_device_exact_tie_poisons_to_host():
+    """Same-multiset segmentations are exact ties in any precision; the
+    ambiguity guard must route them to host rather than guess."""
+    from complexity_tokenizer_tpu.models.unigram import UnigramModel
+
+    # 'aa' can split as [a][a] or use piece 'aa': craft equal totals
+    m = UnigramModel([("<unk>", -10.0), ("a", -2.0), ("aa", -4.0)])
+    texts = ["aaaa", "aa", "aaa"]
+    assert m.encode_batch(texts) == [m.tokenize(t) for t in texts]
