@@ -65,6 +65,56 @@ class ByteLevelBpeModel:
                 result.append(self.vocab.get(t, unk_id))
         return result
 
+    def _get_device(self):
+        if getattr(self, "_device_built", False):
+            return self._device
+        self._device_built = True
+        self._device = None
+        try:
+            from ..ops.stringbpe_device import build_string_bpe_device
+
+            self._device = build_string_bpe_device(self.merge_ranks)
+        except Exception:
+            self._device = None
+        return self._device
+
+    def _split_words(self, text: str) -> list[str]:
+        """Space-attachment splitting (models.rs:530-556): spaces attach
+        to the FOLLOWING word."""
+        if self.add_prefix_space and not text.startswith(" "):
+            text = " " + text
+        words: list[str] = []
+        current = ""
+        for c in text:
+            if c == " ":
+                if current:
+                    words.append(current)
+                    current = ""
+                current += c
+            else:
+                current += c
+        if current:
+            words.append(current)
+        return words
+
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        """Batch encode: distinct byte-level words merged on device via
+        the shared C1 kernel (SURVEY C17); host fallback when the merge
+        table is ineligible."""
+        dev = self._get_device()
+        if dev is None:
+            return [self.encode(t) for t in texts]
+        rows = [self._split_words(t) for t in texts]
+        uniq = sorted({w for r in rows for w in r})
+        sym_rows = [list(self._text_to_byte_tokens(w)) for w in uniq]
+        merged = dev.merge_symbol_rows(sym_rows)
+        unk_id = self.vocab.get(self.unk_token, 0)
+        table: dict[str, list[int]] = {}
+        for w, m in zip(uniq, merged):
+            toks = self.tokenize_word(w) if m is None else m
+            table[w] = [self.vocab.get(t, unk_id) for t in toks]
+        return [[i for w in r for i in table[w]] for r in rows]
+
     def decode(self, ids) -> str:
         tokens = "".join(
             self.vocab_r[int(i)] for i in ids if int(i) in self.vocab_r

@@ -57,6 +57,40 @@ class CharBpeModel:
                 out.append(self.vocab.get(t, unk_id))
         return out
 
+    def _get_device(self):
+        if getattr(self, "_device_built", False):
+            return self._device
+        self._device_built = True
+        self._device = None
+        try:
+            from ..ops.stringbpe_device import build_string_bpe_device
+
+            self._device = build_string_bpe_device(self.merge_ranks)
+        except Exception:
+            self._device = None
+        return self._device
+
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        """Batch encode: distinct words merged on device via the shared
+        C1 kernel with `</w>` suffix seeding (SURVEY C17); host fallback
+        for ineligible tables or over-wide words."""
+        dev = self._get_device()
+        if dev is None:
+            return [self.encode(t) for t in texts]
+        rows = [t.split() for t in texts]
+        uniq = sorted({w for r in rows for w in r})
+        suffix = self.end_of_word_suffix
+        sym_rows = [
+            (list(w)[:-1] + [w[-1] + suffix]) if w else [] for w in uniq
+        ]
+        merged = dev.merge_symbol_rows(sym_rows)
+        unk_id = self.vocab.get(self.unk_token, 0)
+        table: dict[str, list[int]] = {}
+        for w, m in zip(uniq, merged):
+            toks = self.tokenize_word(w) if m is None else m
+            table[w] = [self.vocab.get(t, unk_id) for t in toks]
+        return [[i for w in r for i in table[w]] for r in rows]
+
     def decode(self, ids) -> str:
         result = ""
         suffix = self.end_of_word_suffix

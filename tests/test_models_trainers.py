@@ -322,3 +322,52 @@ def test_unigram_device_exact_tie_poisons_to_host():
     m = UnigramModel([("<unk>", -10.0), ("a", -2.0), ("aa", -4.0)])
     texts = ["aaaa", "aa", "aaa"]
     assert m.encode_batch(texts) == [m.tokenize(t) for t in texts]
+
+
+def test_charbpe_device_matches_host_fuzz():
+    """CharBPE device path (shared C1 kernel + </w> seeding) vs host."""
+    import numpy as np
+
+    from complexity_tokenizer_tpu.models.charbpe import CharBpeModel
+
+    # well-formed merge table built like a trainer would emit
+    merges = [("l", "o"), ("lo", "w</w>"), ("e", "r</w>"), ("w", "e"),
+              ("lo", "w"), ("n", "e"), ("ne", "w</w>"), ("we", "er</w>")]
+    vocab = {"<unk>": 0}
+    for sym in "lowernstuv":
+        vocab.setdefault(sym, len(vocab))
+        vocab.setdefault(sym + "</w>", len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    m = CharBpeModel(vocab, merges)
+    rng = np.random.RandomState(8)
+    texts = [" ".join("".join(rng.choice(list("lowernstz")) for _ in range(rng.randint(1, 9)))
+                      for _ in range(rng.randint(0, 8))) for _ in range(120)]
+    texts += ["", "low lower newer", "x" * 200]
+    assert m.encode_batch(texts) == [m.encode(t) for t in texts]
+
+
+def test_bytelevel_bpe_device_matches_host_fuzz():
+    """ByteLevelBpeModel device path (space-attachment splitting + shared
+    C1 kernel) vs host."""
+    import numpy as np
+
+    from complexity_tokenizer_tpu.models.bytelevel_bpe import ByteLevelBpeModel
+    from complexity_tokenizer_tpu.utils.bytelevel import bytes_to_unicode
+
+    enc = bytes_to_unicode()
+    A = [enc[ord(c)] for c in "helowrd"]
+    SP = enc[ord(" ")]
+    merges = [(A[0], A[1]), (A[0] + A[1], A[2]), (SP, A[0]),
+              (A[3], A[4]), (A[5], A[6])]
+    vocab = {"<unk>": 0}
+    for ch in set("".join(a + b for a, b in merges)) | set(A) | {SP}:
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    m = ByteLevelBpeModel(vocab, merges)
+    rng = np.random.RandomState(12)
+    texts = [" ".join("".join(rng.choice(list("helowrdz é")) for _ in range(rng.randint(1, 8)))
+                      for _ in range(rng.randint(0, 6))) for _ in range(120)]
+    texts += ["", "hello world", "  double  spaces  "]
+    assert m.encode_batch(texts) == [m.encode(t) for t in texts]
