@@ -32,7 +32,11 @@ __all__ = ["DeviceWordEncoder", "build_word_encoder"]
 # effectively every natural pre-split word — longer matches fall back to
 # the native merge loop.
 _WORD_W = 128
-_B_BUCKETS = (1024, 8192, 65536)
+# extra intermediate buckets keep first-compile cost low on backends where
+# the persistent compile cache misses across processes (axon embeds a
+# session fingerprint in the key): Mosaic/XLA compile time for the merge
+# loop grows with the batch dimension on that backend
+_B_BUCKETS = (1024, 2048, 8192, 65536)
 
 
 class DeviceWordEncoder:
@@ -121,14 +125,20 @@ class DeviceWordEncoder:
             arr[r, :lens_] = words_buf[a : a + lens_]
         return arr, ls
 
-    def fill_caches(self, data: list[bytes]) -> int:
-        """Device-encode all distinct uncached words in the corpus and
+    def fill_caches(self, data: list[bytes], max_words: int | None = None) -> int:
+        """Device-encode the distinct uncached words in the corpus and
         insert them into the native shared caches.  Returns the number of
-        words filled."""
+        words filled.  ``max_words`` caps the device batch (the remainder
+        is computed lazily by the native merge loop) — useful on backends
+        with expensive first compiles for large batch shapes."""
         words_buf, lens = self.native.collect_miss_words(data, _WORD_W)
         n = len(lens)
         if n == 0:
             return 0
+        if max_words is not None and n > max_words:
+            n = max_words
+            lens = lens[:n]
+            words_buf = words_buf[: int(np.sum(lens))]
         ids_rows = self._encode_word_matrix(words_buf, lens)
         self.native.cache_insert(words_buf, lens, ids_rows)
         return n
