@@ -90,7 +90,8 @@ def build_chd_table(
     size = 1
     while size * load < n:
         size <<= 1
-    for _ in range(3):  # grow on failure
+    for _ in range(7):  # grow on failure (same-bucket same-base-slot keys
+        # are fatal at a given size but resolve under a wider mask)
         t = _try_build_chd(merge_ranks, merge_ops or {}, size)
         if t is not None:
             return t

@@ -52,9 +52,10 @@ def _poly_hash_np(chars: list[int], base: np.uint32, seed: np.uint32) -> np.uint
 
 @dataclass
 class WordPieceDeviceTables:
-    chd: object  # ChdTable keyed on (h1, h2); rank column = token id
-    token_chars: np.ndarray  # [V, Lt] int32, -1 padded (prefix stripped)
-    token_lens: np.ndarray  # [V] int32
+    chd: object  # ChdTable keyed on (h1, h2); rank column = SLOT index
+    token_chars: np.ndarray  # [S, Lt] int32, -1 padded (matchable form)
+    token_lens: np.ndarray  # [S] int32
+    emit_ids: np.ndarray  # [S] int32: slot -> vocab token id
     max_token_len: int
     unk_id: int  # -1 when UNK not in vocab
     max_input_chars: int
@@ -62,28 +63,33 @@ class WordPieceDeviceTables:
 
 def build_wordpiece_tables(model) -> WordPieceDeviceTables | None:
     """Tables for a models.wordpiece.WordPieceModel; None if ineligible
-    (token hash collision, oversized tokens, empty vocab)."""
+    (token hash collision, empty vocab).
+
+    Each vocab entry is inserted under every *matchable form* (one table
+    slot per form, CHD rank column = slot, ``emit_ids[slot]`` = token id):
+
+    - a plain key (full token chars, unseeded hashes) — the start==0 probe
+      in models.rs:63-66 looks up the raw substring, so an entry that
+      literally begins with the continuation prefix (e.g. ``##abc``) must
+      be findable by its full spelling at word start;
+    - a continuation key (prefix-stripped body, seeded hashes) when the
+      entry strictly extends the prefix — the start>0 probe prepends the
+      prefix before lookup.
+
+    Forms longer than the lane width are skipped (a word that could match
+    them is itself over-wide and host-routed by the caller).
+    """
     vocab = model.vocab
     if not vocab:
         return None
     prefix = model.continuing_subword_prefix
-    max_id = max(vocab.values())
-    if max_id > 2_000_000:
-        return None
     keys: dict[tuple[int, int], int] = {}
     Lt = 1
-    stripped: dict[int, list[int]] = {}
-    for tok, tid in vocab.items():
-        is_cont = tok.startswith(prefix) and len(tok) > len(prefix)
-        body = tok[len(prefix):] if is_cont else tok
-        chars = [ord(c) for c in body]
-        if not chars:
-            continue
-        if len(chars) > _W:
-            return None  # token longer than the lane width: host only
-        Lt = max(Lt, len(chars))
-        s1 = _SEED_CONT1 if is_cont else np.uint32(0)
-        s2 = _SEED_CONT2 if is_cont else np.uint32(0)
+    slot_chars: list[list[int]] = []
+    slot_emit: list[int] = []
+
+    def add_key(chars: list[int], s1: np.uint32, s2: np.uint32, tid: int) -> bool:
+        nonlocal Lt
         h1 = int(_poly_hash_np(chars, _B1, s1))
         h2 = int(_poly_hash_np(chars, _B2, s2))
         key = (
@@ -91,22 +97,40 @@ def build_wordpiece_tables(model) -> WordPieceDeviceTables | None:
             h2 if h2 < 1 << 31 else h2 - (1 << 32),
         )
         if key in keys:
-            return None  # 64-bit hash collision between two tokens
-        keys[key] = tid
-        stripped[tid] = chars
+            return False  # 64-bit hash collision between two forms
+        keys[key] = len(slot_chars)
+        slot_chars.append(chars)
+        slot_emit.append(tid)
+        Lt = max(Lt, len(chars))
+        return True
+
+    for tok, tid in vocab.items():
+        full = [ord(c) for c in tok]
+        if full and len(full) <= _W:
+            if not add_key(full, np.uint32(0), np.uint32(0), tid):
+                return None
+        if tok.startswith(prefix) and len(tok) > len(prefix):
+            body = [ord(c) for c in tok[len(prefix):]]
+            if len(body) <= _W - 1:  # continuation matches start at >= 1
+                if not add_key(body, _SEED_CONT1, _SEED_CONT2, tid):
+                    return None
+    if not slot_chars:
+        return None
     chd = build_chd_table(keys)
     if chd is None:
         return None
-    token_chars = np.full((max_id + 1, Lt), -1, np.int32)
-    token_lens = np.zeros(max_id + 1, np.int32)
-    for tid, chars in stripped.items():
-        token_chars[tid, : len(chars)] = chars
-        token_lens[tid] = len(chars)
+    S = len(slot_chars)
+    token_chars = np.full((S, Lt), -1, np.int32)
+    token_lens = np.zeros(S, np.int32)
+    for slot, chars in enumerate(slot_chars):
+        token_chars[slot, : len(chars)] = chars
+        token_lens[slot] = len(chars)
     unk_id = vocab.get(model.unk_token)
     return WordPieceDeviceTables(
         chd=chd,
         token_chars=token_chars,
         token_lens=token_lens,
+        emit_ids=np.asarray(slot_emit, np.int32),
         max_token_len=Lt,
         unk_id=-1 if unk_id is None else int(unk_id),
         max_input_chars=int(model.max_input_chars_per_word),
@@ -124,6 +148,7 @@ class WordPieceDevice:
         self.rows = jnp.asarray(tables.chd.rows)
         self.token_chars = jnp.asarray(tables.token_chars)
         self.token_lens = jnp.asarray(tables.token_lens)
+        self.emit_ids = jnp.asarray(tables.emit_ids)
 
     @functools.cached_property
     def _fn(self):
@@ -137,6 +162,7 @@ class WordPieceDevice:
         t = self.t
         disp, rows = self.disp, self.rows
         token_chars, token_lens = self.token_chars, self.token_lens
+        emit_ids = self.emit_ids
         size, n_buckets = t.chd.size, t.chd.n_buckets
         Lt = t.max_token_len
         maxlen = min(Lt, _W)
@@ -215,7 +241,9 @@ class WordPieceDevice:
                 )
                 poison_now = matched & ~verified
                 emit_unk = active & ~matched & (unk >= 0)
-                emit_id = jnp.where(matched & verified, cand_id, unk)
+                emit_id = jnp.where(
+                    matched & verified, emit_ids[jnp.maximum(cand_id, 0)], unk
+                )
                 do_emit = (matched & verified) | emit_unk
                 cols = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
                 out = jnp.where(
@@ -289,12 +317,10 @@ def build_wordlevel_tables(model) -> WordPieceDeviceTables | None:
     vocab = model.vocab
     if not vocab:
         return None
-    max_id = max(vocab.values())
-    if max_id > 2_000_000:
-        return None
     keys: dict[tuple[int, int], int] = {}
     Lt = 1
-    stripped: dict[int, list[int]] = {}
+    slot_chars: list[list[int]] = []
+    slot_emit: list[int] = []
     for tok, tid in vocab.items():
         chars = [ord(c) for c in tok]
         if not chars or len(chars) > _W:
@@ -309,21 +335,24 @@ def build_wordlevel_tables(model) -> WordPieceDeviceTables | None:
         )
         if key in keys:
             return None
-        keys[key] = tid
-        stripped[tid] = chars
+        keys[key] = len(slot_chars)
+        slot_chars.append(chars)
+        slot_emit.append(tid)
     chd = build_chd_table(keys)
     if chd is None:
         return None
-    token_chars = np.full((max_id + 1, Lt), -1, np.int32)
-    token_lens = np.zeros(max_id + 1, np.int32)
-    for tid, chars in stripped.items():
-        token_chars[tid, : len(chars)] = chars
-        token_lens[tid] = len(chars)
+    S = len(slot_chars)
+    token_chars = np.full((S, Lt), -1, np.int32)
+    token_lens = np.zeros(S, np.int32)
+    for slot, chars in enumerate(slot_chars):
+        token_chars[slot, : len(chars)] = chars
+        token_lens[slot] = len(chars)
     unk_id = vocab.get(model.unk_token, 0)
     return WordPieceDeviceTables(
         chd=chd,
         token_chars=token_chars,
         token_lens=token_lens,
+        emit_ids=np.asarray(slot_emit, np.int32),
         max_token_len=Lt,
         unk_id=int(unk_id),
         max_input_chars=1 << 30,
@@ -341,6 +370,7 @@ class WordLevelDevice:
         self.rows = jnp.asarray(tables.chd.rows)
         self.token_chars = jnp.asarray(tables.token_chars)
         self.token_lens = jnp.asarray(tables.token_lens)
+        self.emit_ids = jnp.asarray(tables.emit_ids)
 
     @functools.cached_property
     def _fn(self):
@@ -354,6 +384,7 @@ class WordLevelDevice:
         t = self.t
         disp, rows = self.disp, self.rows
         token_chars, token_lens = self.token_chars, self.token_lens
+        emit_ids = self.emit_ids
         size, n_buckets = t.chd.size, t.chd.n_buckets
         Lt = t.max_token_len
         unk = jnp.int32(t.unk_id)
@@ -387,7 +418,7 @@ class WordLevelDevice:
                 & (token_lens[jnp.where(hit, safe, 0)] == lens)
                 & (lens <= Lt)
             )
-            out = jnp.where(hit & ok, tid, unk)
+            out = jnp.where(hit & ok, emit_ids[safe], unk)
             return jnp.where(valid, out, -1)
 
         return jax.jit(fn)

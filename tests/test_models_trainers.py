@@ -258,6 +258,40 @@ def test_wordpiece_device_matches_host_fuzz():
     assert m.encode_batch(texts) == [m.encode(t_) for t_ in texts]
 
 
+def test_wordpiece_device_literal_prefix_words():
+    """A vocab entry that literally starts with the continuation prefix
+    ("##abc") must match at word start by its full spelling — the start==0
+    probe in models.rs:63-66 looks up the raw substring.  Regression: the
+    device table used to hold only the continuation-seeded form, silently
+    diverging from the host on words that literally begin with "##"."""
+    from complexity_tokenizer_tpu.models.wordpiece import WordPieceModel
+    from complexity_tokenizer_tpu.ops.wordpiece_device import (
+        WordPieceDevice,
+        build_wordpiece_tables,
+    )
+
+    vocab = {"[UNK]": 0, "#": 1, "##abc": 2, "a": 3, "b": 4, "c": 5,
+             "##b": 6, "##c": 7, "##a": 8, "##1": 9, "1": 10, "##": 11}
+    m = WordPieceModel(vocab)
+    dev = WordPieceDevice(build_wordpiece_tables(m))
+    words = ["##abc", "##1", "abc", "a1c", "#", "##", "ab", "x##abc", "a##1"]
+    got = dev.tokenize_words(words)
+    for i in getattr(dev, "last_poisoned", []):
+        got[i] = m.tokenize_word(words[i])
+    assert got == [m.tokenize_word(w) for w in words]
+
+    # empty continuation prefix: every entry is matchable both plain and
+    # as a continuation
+    m2 = WordPieceModel({"[UNK]": 0, "ab": 1, "a": 2, "b": 3, "c": 4},
+                        continuing_subword_prefix="")
+    dev2 = WordPieceDevice(build_wordpiece_tables(m2))
+    words2 = ["abc", "abab", "cab", "bbb"]
+    got2 = dev2.tokenize_words(words2)
+    for i in getattr(dev2, "last_poisoned", []):
+        got2[i] = m2.tokenize_word(words2[i])
+    assert got2 == [m2.tokenize_word(w) for w in words2]
+
+
 def test_wordpiece_device_no_unk_in_vocab():
     from complexity_tokenizer_tpu.models.wordpiece import WordPieceModel
     from complexity_tokenizer_tpu.ops.wordpiece_device import (
