@@ -16,4 +16,12 @@ def __getattr__(name):
         from .trainer import DistributedInlTrainer
 
         return DistributedInlTrainer
+    if name == "DistributedUnigramTrainer":
+        from .unigram_trainer import DistributedUnigramTrainer
+
+        return DistributedUnigramTrainer
+    if name == "DistributedWordPieceTrainer":
+        from .wordpiece_trainer import DistributedWordPieceTrainer
+
+        return DistributedWordPieceTrainer
     raise AttributeError(name)

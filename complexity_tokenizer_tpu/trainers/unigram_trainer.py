@@ -86,16 +86,12 @@ class UnigramTrainer:
         for _ in range(cfg.n_iterations):
             if len(self.vocab) <= cfg.vocab_size:
                 break
-            expected: Counter = Counter()
-            vocab_map = dict(self.vocab)
-            for sentence, sfreq in sentence_freqs.items():
-                for tok in self._viterbi_segment(sentence, vocab_map):
-                    expected[tok] += sfreq
+            expected = self._expected_counts(sentence_freqs)
             target_size = max(
                 int(len(self.vocab) * cfg.shrinking_factor), cfg.vocab_size
             )
             scored = sorted(
-                ((t, expected.get(t, 0.0)) for t, _ in self.vocab),
+                ((t, expected.get(i, 0.0)) for i, (t, _) in enumerate(self.vocab)),
                 key=lambda kv: -kv[1],
             )[:target_size]
             total_count = float(sum(c for _, c in scored))
@@ -107,6 +103,23 @@ class UnigramTrainer:
             if not any(t == tok for t, _ in self.vocab):
                 self.vocab.append((tok, -100.0))
         return UnigramModel(list(self.vocab), "<unk>")
+
+    def _expected_counts(self, sentence_freqs: Counter) -> dict[int, float]:
+        """E-step: expected piece counts from Viterbi segmentations, keyed
+        by the piece's index in ``self.vocab`` (trainers.rs:440-450).
+        Single-char UNK fallbacks never contribute — their substring is by
+        construction not a live piece.  Overridden by the distributed
+        trainer (parallel/unigram_trainer.py) with a sharded device pass.
+        """
+        vocab_map = dict(self.vocab)
+        index = {t: i for i, (t, _) in enumerate(self.vocab)}
+        expected: Counter = Counter()
+        for sentence, sfreq in sentence_freqs.items():
+            for tok in self._viterbi_segment(sentence, vocab_map):
+                i = index.get(tok)
+                if i is not None:
+                    expected[i] += sfreq
+        return expected
 
     def _viterbi_segment(self, sentence: str, vocab_map: dict[str, float]) -> list[str]:
         """Viterbi DP (trainers.rs:485-540)."""

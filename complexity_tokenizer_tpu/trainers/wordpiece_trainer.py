@@ -92,7 +92,12 @@ class WordPieceTrainer:
                     pair_freqs[(toks[i], toks[i + 1])] += freq
             if not pair_freqs:
                 break
-            (a, b), _ = max(pair_freqs.items(), key=lambda kv: kv[1])
+            # highest count; ties -> lexicographically smallest pair.  The
+            # reference's tie order is HashMap-iteration nondeterministic
+            # (trainers.rs:180-217), so any fixed rule is within its
+            # variance; this one is shared with the distributed trainer so
+            # both produce identical vocabs.
+            (a, b), _ = min(pair_freqs.items(), key=lambda kv: (-kv[1], kv[0]))
             if b.startswith(prefix):
                 merged = a + b[len(prefix) :]
             else:

@@ -136,3 +136,110 @@ def test_merge_step_overlapping_same_token():
     out = np.asarray(out)
     assert minted == 2
     assert out[0, :2].tolist() == [N, a]
+
+
+def test_distributed_unigram_trainer_matches_host():
+    """Device Viterbi E-step + psum histograms vs the host EM loop:
+    bit-identical vocab (SURVEY C16)."""
+    from complexity_tokenizer_tpu.parallel.unigram_trainer import (
+        DistributedUnigramTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.unigram_trainer import (
+        UnigramTrainer,
+        UnigramTrainerConfig,
+    )
+
+    texts = [
+        "hello world this is a test",
+        "the quick brown fox jumps over the lazy dog",
+        "unigram training corpus with 日本語 and café text",
+        "more text to segment here",
+        "hello hello world world",
+    ] * 5
+    cfg = dict(
+        vocab_size=60, n_iterations=5, max_piece_length=6,
+        initial_vocab_size=400,
+    )
+    host = UnigramTrainer(UnigramTrainerConfig(**cfg))
+    host.train_from_texts(texts)
+    dist = DistributedUnigramTrainer(UnigramTrainerConfig(**cfg))
+    model = dist.train_from_texts(texts)
+    assert host.vocab == dist.vocab
+    # the returned model segments through the trained pieces
+    assert model.encode("hello") != []
+
+
+def test_distributed_unigram_trainer_overwide_sentences():
+    """Sentences beyond the 128-lane width are E-stepped on host; counts
+    still merge into the same histogram as the all-host trainer."""
+    from complexity_tokenizer_tpu.parallel.unigram_trainer import (
+        DistributedUnigramTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.unigram_trainer import (
+        UnigramTrainer,
+        UnigramTrainerConfig,
+    )
+
+    long_word = "ab" * 100  # 200 chars, over the lane width
+    texts = ["short words here", long_word, "ab ab ab"] * 3
+    cfg = dict(
+        vocab_size=20, n_iterations=3, max_piece_length=4,
+        initial_vocab_size=150,
+    )
+    host = UnigramTrainer(UnigramTrainerConfig(**cfg))
+    host.train_from_texts(texts)
+    dist = DistributedUnigramTrainer(UnigramTrainerConfig(**cfg))
+    dist.train_from_texts(texts)
+    assert host.vocab == dist.vocab
+
+
+def test_distributed_wordpiece_trainer_matches_host():
+    """Device greedy re-tokenization + sharded sort/unique pair counts vs
+    the host trainer: bit-identical vocab (SURVEY C15)."""
+    from complexity_tokenizer_tpu.parallel.wordpiece_trainer import (
+        DistributedWordPieceTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.wordpiece_trainer import (
+        WordPieceTrainer,
+        WordPieceTrainerConfig,
+    )
+
+    texts = [
+        "hello world this is a test",
+        "the quick brown fox jumps over the lazy dog",
+        "wordpiece training corpus with unusual words",
+        "hello hello world",
+        "##literal prefix words here",
+        "café über naïve 日本語",
+    ] * 4
+    cfg = dict(vocab_size=120, min_frequency=1)
+    host = WordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    host.train_from_texts(texts)
+    dist = DistributedWordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    model = dist.train_from_texts(texts)
+    assert host.vocab == dist.vocab
+    # the returned model tokenizes through the trained vocab
+    assert model.encode("hello world") == [
+        model.vocab[t] for t in ("hello", "world")
+    ]
+
+
+def test_distributed_wordpiece_trainer_overwide_words():
+    """Words beyond the 128-lane width are tokenized+counted on host each
+    round; the merged histogram still matches the all-host trainer."""
+    from complexity_tokenizer_tpu.parallel.wordpiece_trainer import (
+        DistributedWordPieceTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.wordpiece_trainer import (
+        WordPieceTrainer,
+        WordPieceTrainerConfig,
+    )
+
+    wide = "xy" * 80  # 160 chars
+    texts = ["aa bb aa", wide, "xy xy yx"] * 3
+    cfg = dict(vocab_size=30, min_frequency=1)
+    host = WordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    host.train_from_texts(texts)
+    dist = DistributedWordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    dist.train_from_texts(texts)
+    assert host.vocab == dist.vocab
