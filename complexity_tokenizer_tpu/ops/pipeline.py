@@ -119,9 +119,38 @@ class EncodePipeline:
 
     # ------------------------------------------------------------------
 
+    @functools.cached_property
+    def _norm_checker(self):
+        """Device stability checker for the configured normalizer (None
+        when unsupported -> every row host-normalizes, exact as before)."""
+        if self.normalizer is None:
+            return None
+        try:
+            from .normalize_device import DeviceNormChecker, plan_for_normalizer
+
+            plan = plan_for_normalizer(self.normalizer)
+            return DeviceNormChecker(plan) if plan is not None else None
+        except Exception:
+            return None
+
     def _prepare(self, texts: list[str], already_normalized: bool = False) -> list[bytes]:
         norm = self.normalizer if not already_normalized else None
         aps = self.add_prefix_space
+        if norm is not None:
+            checker = self._norm_checker
+            if checker is not None:
+                # device stability pass: rows proven to be fixed points of
+                # the normalizer skip the host rewrite entirely (SURVEY C3)
+                raw = [t.encode("utf-8") for t in texts]
+                clean = checker.check_bytes(raw, _LENGTH_BUCKETS, pack_texts)
+                out = []
+                for t, d, c in zip(texts, raw, clean):
+                    if not c:
+                        d = norm.normalize(t).encode("utf-8")
+                    if aps and d and not d.startswith(b" "):
+                        d = b" " + d
+                    out.append(d)
+                return out
         out = []
         for t in texts:
             if norm is not None:

@@ -152,3 +152,116 @@ def test_pallas_seed_matches_xla():
             -1,
         )
         assert np.array_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# device normalization (SURVEY C3): stability bitmaps + checker
+
+
+def test_stability_bitmaps_sound():
+    """Unflagged codepoints must be fixed points in every context: fuzz
+    random strings drawn from unflagged cps and assert normalize == id."""
+    import unicodedata
+
+    from complexity_tokenizer_tpu.ops.normalize_device import stability_bitmap
+
+    rng = np.random.RandomState(7)
+    for kind, ref in [
+        ("NFC", lambda s: unicodedata.normalize("NFC", s)),
+        ("NFD", lambda s: unicodedata.normalize("NFD", s)),
+        ("NFKC", lambda s: unicodedata.normalize("NFKC", s)),
+        ("NFKD", lambda s: unicodedata.normalize("NFKD", s)),
+        ("lowercase", lambda s: s.lower()),
+    ]:
+        bm = stability_bitmap(kind)
+        stable = np.nonzero(bm[:0x31000] == 0)[0]
+        # random strings over unflagged cps, biased toward BMP + Hangul +
+        # Latin composites
+        for _ in range(300):
+            n = rng.randint(1, 30)
+            cps = stable[rng.randint(0, len(stable), size=n)]
+            s = "".join(chr(int(c)) for c in cps)
+            assert ref(s) == s, (kind, [hex(int(c)) for c in cps])
+        # adversarial flagged cases must be flagged
+    nfc = stability_bitmap("NFC")
+    assert nfc[0x301]  # combining acute
+    assert nfc[0x1161] and nfc[0x11A8]  # jamo V / T
+    assert not nfc[ord("é")] and not nfc[0xAC00]  # composites stay clean
+    assert stability_bitmap("NFKC")[0xFB01]  # fi ligature
+    low = stability_bitmap("lowercase")
+    assert low[ord("A")] and low[0x3A3] and not low[ord("ß")]
+
+
+def test_norm_plans_and_checker():
+    from complexity_tokenizer_tpu.core import normalizers as N
+    from complexity_tokenizer_tpu.ops.normalize_device import (
+        DeviceNormChecker,
+        plan_for_normalizer,
+    )
+    from complexity_tokenizer_tpu.ops.pipeline import pack_texts
+
+    # Sequence(NFC, Lowercase) + Strip positional predicate
+    plan = plan_for_normalizer(
+        N.Sequence([N.NFC(), N.Lowercase(), N.Strip()])
+    )
+    assert plan is not None
+    checker = DeviceNormChecker(plan)
+    texts = [
+        "already clean lowercase",  # clean
+        "Has Uppercase",  # lowercase-unstable
+        "cafe\u0301 decomposed",  # NFC-unstable (combining acute)
+        " leading space",  # Strip positional
+        "clean caf\u00e9 composed",  # composed é is stable
+        "",
+    ]
+    raw = [t.encode("utf-8") for t in texts]
+    clean = checker.check_bytes(raw, (128, 512), pack_texts)
+    assert clean.tolist() == [True, False, False, False, True, True]
+
+    # Replace: pattern-codepoint bitmap
+    plan = plan_for_normalizer(N.Replace("x", "y"))
+    checker = DeviceNormChecker(plan)
+    raw = [b"no pattern here", b"has x inside"]
+    assert checker.check_bytes(raw, (128,), pack_texts).tolist() == [True, False]
+    assert plan_for_normalizer(N.Replace("", "y")) is None
+    assert plan_for_normalizer(N.Prepend("_")) is None
+
+    # BertNormalizer: CJK + control + uppercase flagged
+    plan = plan_for_normalizer(N.BertNormalizer())
+    checker = DeviceNormChecker(plan)
+    raw = [
+        "plain ascii lower".encode(),
+        "has 中文 chars".encode(),
+        "has\tcontrol-ish ws".encode(),
+        "Upper Case".encode(),
+    ]
+    assert checker.check_bytes(raw, (128,), pack_texts).tolist() == [
+        True, False, False, False,
+    ]
+
+
+def test_device_norm_in_pipeline_matches_host():
+    """Pipeline with an NFC normalizer: device-checked rows skip the host
+    rewrite; results equal all-host normalization byte-for-byte."""
+    from complexity_tokenizer_tpu.core import normalizers as N
+    from complexity_tokenizer_tpu.ops.pipeline import build_encode_pipeline
+
+    tok = trained_tokenizer()  # fresh instance: don't mutate the fixture
+    tok.set_normalizer(N.NFC())
+    pipe = build_encode_pipeline(tok)
+    assert pipe is not None
+    texts = [
+        "hello world",
+        "cafe\u0301 au lait",  # needs composition
+        "caf\u00e9 au lait",  # already composed
+        "mixed d\u0323\u0307 orderings",  # ccc reordering case
+        "plain ascii",
+    ]
+    got = pipe._prepare(texts)
+    exp = []
+    for t in texts:
+        t = N.NFC().normalize(t)
+        if pipe.add_prefix_space and t and not t.startswith(" "):
+            t = " " + t
+        exp.append(t.encode("utf-8"))
+    assert got == exp
