@@ -42,12 +42,22 @@ _B_BUCKETS = (1024, 2048, 8192, 65536)
 class DeviceWordEncoder:
     """Encodes batches by device-merging distinct uncached words."""
 
+    # encode-path fills reuse one stable [fill_cap, W] compiled shape; the
+    # remainder of a large novel batch is host-merged (and cached) by the
+    # native tier, so capping bounds latency without affecting results
+    fill_cap = 1024
+    # once warm, skip the miss scan and only sweep periodically — misses
+    # between sweeps are handled (and cached) by the native merge loop
+    sweep_interval = 32
+
     def __init__(self, pipeline, native):
         self.pipeline = pipeline
         self.native = native
         # optional jax.sharding.NamedSharding for the word-matrix rows
         # (parallel/encode.shard_word_encoder)
         self.sharding = None
+        self._steady = False
+        self._batches_since_sweep = 0
 
     @functools.cached_property
     def _fn(self):
@@ -143,14 +153,27 @@ class DeviceWordEncoder:
         self.native.cache_insert(words_buf, lens, ids_rows)
         return n
 
+    def _maybe_fill(self, data: list[bytes]) -> int:
+        """Adaptive fill: scan-and-fill until the caches are warm, then
+        skip the (serial) miss scan and only sweep every
+        ``sweep_interval`` batches.  Skipping never affects results —
+        uncached words are merged and cached by the native tier."""
+        if self._steady and self._batches_since_sweep < self.sweep_interval:
+            self._batches_since_sweep += 1
+            return 0
+        n = self.fill_caches(data, max_words=self.fill_cap)
+        self._batches_since_sweep = 0
+        self._steady = n < max(16, self.fill_cap // 64)
+        return n
+
     def encode_batch(self, data: list[bytes]) -> list[list[int]]:
         """Full batch encode: device merges the distinct new words, the
         native runtime assembles per-text ids from the caches."""
-        self.fill_caches(data)
+        self._maybe_fill(data)
         return self.native.encode_batch(data)
 
     def encode_batch_ragged(self, data: list[bytes]):
-        self.fill_caches(data)
+        self._maybe_fill(data)
         return self.native.encode_batch_ragged(data)
 
 
