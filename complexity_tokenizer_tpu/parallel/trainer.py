@@ -27,7 +27,6 @@ slice.
 
 from __future__ import annotations
 
-import heapq
 from collections import Counter, defaultdict
 
 import numpy as np
@@ -209,15 +208,17 @@ class DistributedInlTrainer(InlBpeTrainer):
         target = cfg.vocab_size
         rebuild_interval = 100
         while len(self.vocab) < target:
-            heap = [(-s, p) for s, p in self._scores()]
-            heapq.heapify(heap)
+            pairs, order = self._ordered_pairs()
+            pos = 0
+            n_ord = len(order)
             progressed = False
             for _ in range(rebuild_interval):
                 if len(self.vocab) >= target:
                     break
                 pair = None
-                while heap:
-                    _, cand = heapq.heappop(heap)
+                while pos < n_ord:
+                    cand = pairs[order[pos]]
+                    pos += 1
                     if self.pair_freqs.get(cand, 0) > 0:
                         pair = cand
                         break

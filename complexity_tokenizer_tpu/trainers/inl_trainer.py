@@ -225,29 +225,66 @@ class InlBpeTrainer:
             self.velocity[tid] = 0.0
         return words, freqs
 
-    def _scores(self):
-        """Score every live pair with the INL dynamics (trainer.rs:369-403)."""
+    def _score_arrays(self):
+        """(pairs, packed_keys, freqs, scores) for every stored pair, with
+        the INL dynamics score (trainer.rs:369-403) vectorized — the
+        per-pair Python loop dominated training time at realistic pair
+        counts.  Operand order matches the scalar formula (IEEE-identical).
+        """
+        import numpy as np
+
         cfg = self.config
+        pf = self.pair_freqs
+        n = len(pf)
+        if n == 0:
+            return [], np.empty(0, np.int64), np.empty(0), np.empty(0)
         total_freq = sum(self.token_freqs.values())
         mu = cfg.inl_mu_target * total_freq
         beta = min(max(cfg.inl_beta, 0.0), cfg.inl_beta_max)
         vmax = cfg.inl_velocity_max
-        tf = self.token_freqs
-        vel = self.velocity
-        out = []
-        for pair, freq in self.pair_freqs.items():
-            if freq <= 0:
-                continue
-            a, b = pair
-            err_a = tf.get(a, 0) - mu
-            err_b = tf.get(b, 0) - mu
-            v_a = cfg.inl_alpha * vel.get(a, 0.0) - beta * err_a
-            v_b = cfg.inl_alpha * vel.get(b, 0.0) - beta * err_b
-            v_a = max(-vmax, min(vmax, v_a))
-            v_b = max(-vmax, min(vmax, v_b))
-            score = freq - cfg.inl_gate * (v_a + v_b)
-            out.append((score, pair))
-        return out
+        pairs = list(pf.keys())
+        keys = np.fromiter(
+            ((a << 32) | b for a, b in pairs), np.int64, n
+        )  # packed = tuple order for non-negative id pairs
+        fr = np.fromiter(pf.values(), np.float64, n)
+        a_ids = keys >> 32
+        b_ids = keys & 0xFFFFFFFF
+        m = int(a_ids.max() | b_ids.max()) + 1
+        tf_arr = np.zeros(m, np.float64)
+        for t, f in self.token_freqs.items():
+            if t < m:
+                tf_arr[t] = f
+        vel_arr = np.zeros(m, np.float64)
+        for t, v in self.velocity.items():
+            if t < m:
+                vel_arr[t] = v
+        v_a = cfg.inl_alpha * vel_arr[a_ids] - beta * (tf_arr[a_ids] - mu)
+        v_b = cfg.inl_alpha * vel_arr[b_ids] - beta * (tf_arr[b_ids] - mu)
+        np.clip(v_a, -vmax, vmax, out=v_a)
+        np.clip(v_b, -vmax, vmax, out=v_b)
+        scores = fr - cfg.inl_gate * (v_a + v_b)
+        return pairs, keys, fr, scores
+
+    def _scores(self):
+        """[(score, pair)] for live pairs (compat wrapper)."""
+        pairs, _, fr, scores = self._score_arrays()
+        return [
+            (float(s), p) for s, p, f in zip(scores, pairs, fr) if f > 0
+        ]
+
+    def _ordered_pairs(self):
+        """(pairs, order): walking ``pairs[order[i]]`` visits pairs in
+        merge-priority order — score desc, ties by pair ascending —
+        identical to popping a heap of (-score, pair).  Dead entries
+        (freq <= 0) are not filtered here; the walk's staleness check
+        skips them exactly as the heap's did."""
+        import numpy as np
+
+        pairs, keys, _, scores = self._score_arrays()
+        if not pairs:
+            return [], np.empty(0, np.int64)
+        order = np.lexsort((keys, -scores))
+        return pairs, order
 
     def _learn_merges(self, words, freqs, pair_words) -> None:
         cfg = self.config
@@ -300,20 +337,23 @@ class InlBpeTrainer:
                         heapq.heappush(heap, (-f, p))
         else:
             # INL dynamics: scores drift with every merge, so rebuild the
-            # heap every 100 merges exactly like trainer.rs:406-516
+            # ranking every 100 merges exactly like trainer.rs:406-516
             # (stale entries accepted within the window when still live).
+            # A sorted walk pops in the same order as the heap it replaces.
             rebuild_interval = 100
             while len(self.vocab) < target:
-                heap = [(-s, p) for s, p in self._scores()]
-                heapq.heapify(heap)
-                if not heap:
+                pairs, order = self._ordered_pairs()
+                if not pairs:
                     break
+                pos = 0
+                n_ord = len(order)
                 for _ in range(rebuild_interval):
                     if len(self.vocab) >= target:
                         break
                     pair = None
-                    while heap:
-                        _, cand = heapq.heappop(heap)
+                    while pos < n_ord:
+                        cand = pairs[order[pos]]
+                        pos += 1
                         if self.pair_freqs.get(cand, 0) > 0:
                             pair = cand
                             break
