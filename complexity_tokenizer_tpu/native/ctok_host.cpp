@@ -479,6 +479,55 @@ static const Pat kCleanupTable[] = {
     {" .", "."}, {" ,", ","}, {" !", "!"}, {" ?", "?"}, {" :", ":"},
     {" ;", ";"}, {"\" ", "\""}, {" \"", "\""}, {"' ", "'"}, {" '", "'"},
     {"( ", "("}, {" )", ")"}, {"[ ", "["}, {" ]", "]"}, {" - ", "-"}};
+constexpr size_t kNCleanup = sizeof(kCleanupTable) / sizeof(Pat);
+
+// One exact occurrence scan over the row replaces the 15 per-pattern
+// memmem sweeps for the (overwhelmingly common) rows where no pattern
+// occurs.  ``by_first[b]`` is the bitmask of patterns starting with byte
+// b, so non-trigger bytes cost one table load.  Sequential replace
+// semantics stay exact: the scan gates only the patterns checked BEFORE
+// any replacement fires; once one fires (string changed), the remaining
+// patterns run unconditionally.
+struct CleanupTrig {
+    uint32_t by_first[256];
+    CleanupTrig() {
+        std::memset(by_first, 0, sizeof(by_first));
+        for (size_t p = 0; p < kNCleanup; ++p)
+            by_first[(uint8_t)kCleanupTable[p].a[0]] |= 1u << p;
+    }
+};
+static const CleanupTrig kCleanupTrig;
+
+inline uint32_t cleanup_occurrence(const uint8_t* s, size_t n,
+                                   bool* needs_wsj) {
+    // needs_wsj: whether split_whitespace+join(" ") could change the row —
+    // leading/trailing/consecutive whitespace, ASCII ws other than ' ',
+    // or any non-ASCII byte (conservative: unicode ws lives there).
+    // Replacements only delete interior spaces, so a row that does not
+    // need the join before the replace chain cannot need it after.
+    uint32_t occ = 0;
+    bool wsj = false;
+    bool prev_ws = true;  // leading ws counts
+    for (size_t i = 0; i < n; ++i) {
+        uint8_t b = s[i];
+        bool is_sp = b == ' ';
+        wsj |= (b >= 0x80) | (b >= 9 && b <= 13) | (is_sp & prev_ws);
+        prev_ws = is_sp;
+        if (i + 1 < n) {
+            uint32_t cand = kCleanupTrig.by_first[b] & ~occ;
+            while (cand) {
+                int p = __builtin_ctz(cand);
+                cand &= cand - 1;
+                const char* a = kCleanupTable[p].a;
+                if (s[i + 1] == (uint8_t)a[1] &&
+                    (a[2] == 0 || (i + 2 < n && s[i + 2] == (uint8_t)a[2])))
+                    occ |= 1u << p;
+            }
+        }
+    }
+    *needs_wsj = wsj | prev_ws;  // trailing ws counts
+    return occ;
+}
 
 // Sequential replace with the reference's str.replace semantics.  Returns
 // false (dst untouched) when the pattern does not occur — the common case
@@ -697,13 +746,23 @@ int64_t ctok_decode_batch(void* p, const int32_t* ids_flat,
             std::vector<uint8_t>* cur = &buf_a;
             if (cleanup) {
                 std::vector<uint8_t>* nxt = &buf_b;
-                for (const Pat& rp : kCleanupTable) {
+                bool needs_wsj = false;
+                uint32_t occ = cleanup_occurrence(cur->data(), cur->size(),
+                                                  &needs_wsj);
+                bool fired = false;
+                for (size_t pi = 0; occ != 0 && pi < kNCleanup; ++pi) {
+                    if (!fired && !((occ >> pi) & 1)) continue;
+                    const Pat& rp = kCleanupTable[pi];
                     if (replace_pass(*cur, *nxt, rp.a, std::strlen(rp.a),
-                                     rp.b, std::strlen(rp.b)))
+                                     rp.b, std::strlen(rp.b))) {
                         std::swap(cur, nxt);
+                        fired = true;
+                    }
                 }
-                ws_split_join(d, *cur, *nxt);
-                std::swap(cur, nxt);
+                if (needs_wsj || fired) {
+                    ws_split_join(d, *cur, *nxt);
+                    std::swap(cur, nxt);
+                }
             }
             sz[(size_t)(r - lo)] = (int64_t)cur->size();
             outb.insert(outb.end(), cur->begin(), cur->end());

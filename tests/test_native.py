@@ -196,7 +196,10 @@ def test_native_decoder_cleanup_table_fuzz():
     rng = np.random.RandomState(5)
     pieces = [" .", " ,", '" ', ' "', "' ", " '", "( ", " )", "[ ", " ]",
               " - ", " -", "- ", "  ", "a", "b ", " c", "\t", "\n", "é", "日",
-              ".", '"', "'", " "]
+              ".", '"', "'", " ",
+              # ws-join gating edges: unicode whitespace, leading/trailing
+              # runs, cascaded quote patterns (" ' " hits both "' " and " '")
+              "\u00a0", "\u3000", " ' ", "   x", "y   "]
     for _ in range(200):
         text = "".join(pieces[rng.randint(len(pieces))] for _ in range(rng.randint(1, 15)))
         ids = tok._encode_host(text)
