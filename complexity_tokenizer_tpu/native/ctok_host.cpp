@@ -1135,6 +1135,26 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
     return Py_BuildValue("(NNN)", flat_b, off_b, flagged);
 }
 
+// Token-id PyLong interning: ids repeat constantly (vocab-bounded), so
+// list building INCREFs one shared immutable int per id instead of
+// allocating ~tokens-many fresh PyLongs.  GIL held at every use; cache
+// lives for the module lifetime.
+static std::vector<PyObject*> g_long_cache;
+
+static inline PyObject* cached_long(int32_t v) {
+    if (v < 0 || v >= (1 << 21)) return PyLong_FromLong(v);
+    if ((size_t)v >= g_long_cache.size())
+        g_long_cache.resize((size_t)v + 1024, nullptr);
+    PyObject* o = g_long_cache[(size_t)v];
+    if (!o) {
+        o = PyLong_FromLong(v);
+        if (!o) return nullptr;
+        g_long_cache[(size_t)v] = o;
+    }
+    Py_INCREF(o);
+    return o;
+}
+
 // Same fused pipeline as encode_ragged but materializes list[list[int]]
 // directly in C (one pass of PyLong construction instead of 10K numpy
 // .tolist() round-trips).  Flagged rows come back as None for the caller
@@ -1176,7 +1196,7 @@ static PyObject* ctok_py_encode_rows(PyObject* self, PyObject* args) {
         }
         const int32_t* src = flat + off[i];
         for (Py_ssize_t k = 0; k < m; ++k) {
-            PyObject* v = PyLong_FromLong(src[k]);
+            PyObject* v = cached_long(src[k]);
             if (!v) {
                 Py_DECREF(row);
                 Py_DECREF(rows);
@@ -1365,7 +1385,7 @@ static PyObject* ctok_py_encode_one(PyObject*, PyObject* args) {
     PyObject* lst = PyList_New((Py_ssize_t)m);
     if (!lst) return nullptr;
     for (int64_t i = 0; i < m; ++i) {
-        PyObject* v = PyLong_FromLong(out[i]);
+        PyObject* v = cached_long(out[i]);
         if (!v) {
             Py_DECREF(lst);
             return nullptr;
