@@ -44,6 +44,13 @@ def conformance_corpus():
         "price $100 and $50's",
         "under_scores and-dashes",
         "UPPERCASE lowercase MiXeD",
+        " nbsp\u00a0emspace\u2003ideographic\u3000ws",
+        # NFC-unstable rows (decomposed accents, combining reordering,
+        # Hangul jamo): exercise the device normalization stability
+        # check's host-rewrite routing (ops/normalize_device.py)
+        "cafe\u0301 decomposed re\u0301sume\u0301",
+        "orderings d\u0323\u0307 and d\u0307\u0323 differ",
+        "\ud55c\uad6d\uc5b4 and jamo \u1100\u1161 sequence",
         " nbsp emspace　ideographic",
     ]
     # mixed lengths for bucketing coverage
