@@ -154,6 +154,31 @@ def test_pallas_seed_matches_xla():
         assert np.array_equal(got, exp)
 
 
+def test_word_path_adaptive_fill_stays_exact():
+    """Once warm, the word path skips the miss scan (ops/wordpath.py
+    _maybe_fill); batches with novel words arriving in that state must
+    still be exact — the native tier merges and caches them."""
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    wp = tok._get_word_path()
+    assert wp is not None
+    warm = ["hello world the fox", "quick brown dog"] * 8
+    data = tok._prepare_bytes([tok.normalizer.normalize(t) for t in warm])
+    for _ in range(3):  # drive into the steady (scan-skipping) state
+        wp.encode_batch(data)
+    assert wp._steady
+    novel = ["zyx wvu tsr qpo", "never seen words appear 987"] * 4
+    ndata = tok._prepare_bytes([tok.normalizer.normalize(t) for t in novel])
+    host = [tok._encode_host(t) for t in novel]
+    assert wp.encode_batch(ndata) == host
+    # and the sweep path still fills device-side when it next runs
+    wp._batches_since_sweep = wp.sweep_interval
+    assert wp.encode_batch(ndata) == host
+
+
 # ---------------------------------------------------------------------------
 # device normalization (SURVEY C3): stability bitmaps + checker
 
