@@ -259,6 +259,11 @@ class DeviceNormChecker:
 
         return jax.jit(fn)
 
+    # coarse batch buckets: every (B, L) pair is a separate compile (the
+    # axon backend compiles each shape over a slow tunnel), so the shape
+    # set is kept as small as the encode pipeline's (pipeline.py:28-31)
+    _BATCH_BUCKETS = (64, 2048)
+
     def check_bytes(self, raw: list[bytes], length_buckets, pack) -> np.ndarray:
         """Per-row stability flags; rows wider than the largest bucket are
         reported unstable (host normalizes them — exact either way)."""
@@ -273,14 +278,15 @@ class DeviceNormChecker:
                     break
             if L is not None:
                 groups.setdefault(L, []).append(i)
+        max_b = self._BATCH_BUCKETS[-1]
         for L, idxs in groups.items():
-            B = 8
-            while B < len(idxs):
-                B <<= 1
-            arr, lens = pack([raw[i] for i in idxs], L, B)
-            flags = np.asarray(self._fn(arr, lens))
-            for row, i in enumerate(idxs):
-                clean[i] = bool(flags[row])
+            for start in range(0, len(idxs), max_b):
+                chunk = idxs[start : start + max_b]
+                B = next(b for b in self._BATCH_BUCKETS if b >= len(chunk))
+                arr, lens = pack([raw[i] for i in chunk], L, B)
+                flags = np.asarray(self._fn(arr, lens))
+                for row, i in enumerate(chunk):
+                    clean[i] = bool(flags[row])
         if self.plan.host_pred is not None:
             for i, d in enumerate(raw):
                 if clean[i] and self.plan.host_pred(d.decode("utf-8")):

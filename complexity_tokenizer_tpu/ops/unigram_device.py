@@ -41,7 +41,8 @@ import functools
 import numpy as np
 
 from .hashtable import INF_RANK, build_chd_table
-from .wordpiece_device import _B1, _B2, _W, _poly_hash_np
+from .wordpiece_device import (_B1, _B2, _W, _poly_hash_np,
+                               rolling_prefix_hashes)
 
 __all__ = ["build_unigram_tables", "UnigramDevice", "make_viterbi_fn",
            "build_piece_tables"]
@@ -128,26 +129,7 @@ def make_viterbi_fn(size: int, n_buckets: int, Lt: int, maxcand: int):
            fallback_score, chars, lens):
         B, W = chars.shape
         maxlen = min(maxcand, W)
-        u = jnp.where(chars >= 0, chars.astype(jnp.uint32) + 1, 0)
-
-        def prefix(base):
-            def step(h, c):
-                h2 = h * base + c
-                return h2, h2
-            _, out = jax.lax.scan(step, jnp.zeros(B, jnp.uint32), u.T)
-            return jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.uint32), out.T], axis=1
-            )
-
-        P1, P2 = prefix(_B1), prefix(_B2)
-        pow1 = jnp.concatenate(
-            [jnp.ones(1, jnp.uint32),
-             jnp.cumprod(jnp.full(W, _B1, jnp.uint32))]
-        )
-        pow2 = jnp.concatenate(
-            [jnp.ones(1, jnp.uint32),
-             jnp.cumprod(jnp.full(W, _B2, jnp.uint32))]
-        )
+        P1, P2, pow1, pow2 = rolling_prefix_hashes(chars)
         lens_i = lens.astype(jnp.int32)
         ls = jnp.arange(1, maxlen + 1, dtype=jnp.int32)  # [L]
         fb = fallback_score.astype(jnp.float32)

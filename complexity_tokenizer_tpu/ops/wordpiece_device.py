@@ -50,6 +50,37 @@ def _poly_hash_np(chars: list[int], base: np.uint32, seed: np.uint32) -> np.uint
     return h
 
 
+def rolling_prefix_hashes(chars):
+    """(P1, P2, pow1, pow2) for substring hashing over codepoint rows.
+
+    ``P[b, i]`` is the polynomial hash of ``chars[b, :i]`` (codepoints
+    +1-shifted so 0 is free; -1 padding contributes 0), so any substring
+    hash is ``P[e] - P[s] * pow[e - s]`` — the device twin of
+    :func:`_poly_hash_np`.  Shared by the WordPiece matcher, the Unigram
+    Viterbi scan, and the distributed WordPiece trainer kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    B, W = chars.shape
+    u = jnp.where(chars >= 0, chars.astype(jnp.uint32) + 1, 0)
+
+    def prefix(base):
+        def step(h, c):
+            h2 = h * base + c
+            return h2, h2
+
+        _, out = jax.lax.scan(step, jnp.zeros(B, jnp.uint32), u.T)
+        return jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), out.T], axis=1)
+
+    pow1 = jnp.concatenate(
+        [jnp.ones(1, jnp.uint32), jnp.cumprod(jnp.full(W, _B1, jnp.uint32))]
+    )
+    pow2 = jnp.concatenate(
+        [jnp.ones(1, jnp.uint32), jnp.cumprod(jnp.full(W, _B2, jnp.uint32))]
+    )
+    return prefix(_B1), prefix(_B2), pow1, pow2
+
+
 @dataclass
 class WordPieceDeviceTables:
     chd: object  # ChdTable keyed on (h1, h2); rank column = SLOT index
@@ -171,30 +202,7 @@ class WordPieceDevice:
 
         def fn(chars, lens):
             B, W = chars.shape
-            u = chars.astype(jnp.uint32) + jnp.uint32(1)
-            u = jnp.where(chars >= 0, u, jnp.uint32(0))
-
-            # prefix hashes P[b, i] = hash of chars[b, :i]; powers of base
-            def prefix(base):
-                def step(h, c):
-                    h2 = h * base + c
-                    return h2, h2
-                _, out = jax.lax.scan(step, jnp.zeros(B, jnp.uint32), u.T)
-                return jnp.concatenate(
-                    [jnp.zeros((B, 1), jnp.uint32), out.T], axis=1
-                )  # [B, W+1]
-
-            P1 = prefix(_B1)
-            P2 = prefix(_B2)
-            pow1 = jnp.concatenate(
-                [jnp.ones(1, jnp.uint32),
-                 jnp.cumprod(jnp.full(W, _B1, jnp.uint32))]
-            )
-            pow2 = jnp.concatenate(
-                [jnp.ones(1, jnp.uint32),
-                 jnp.cumprod(jnp.full(W, _B2, jnp.uint32))]
-            )
-
+            P1, P2, pow1, pow2 = rolling_prefix_hashes(chars)
             ls = jnp.arange(1, maxlen + 1, dtype=jnp.int32)  # [L]
             lens_i = lens.astype(jnp.int32)
 

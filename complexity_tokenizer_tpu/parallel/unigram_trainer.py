@@ -97,11 +97,19 @@ class DistributedUnigramTrainer(UnigramTrainer):
         super().__init__(config)
         self._mesh = mesh
         self._corpus = None  # (sentences, chars_dev, lens_dev, freqs_dev, host_idx)
+        self._count_overflow = False
 
     def _get_mesh(self):
         if self._mesh is None:
             self._mesh = data_mesh()
         return self._mesh
+
+    def _train_from_sentences(self, sentences):
+        # a reused trainer instance must re-stage: the staged corpus tensor
+        # belongs to the previous train call's sentence set
+        self._corpus = None
+        self._count_overflow = False
+        return super()._train_from_sentences(sentences)
 
     def _stage_corpus(self, sentence_freqs: Counter):
         """Upload the (constant) sentence tensor once, sharded over data."""
@@ -126,6 +134,13 @@ class DistributedUnigramTrainer(UnigramTrainer):
             lens[i] = len(cps)
             freqs[i] = sentence_freqs[s]
         shard = NamedSharding(mesh, P(DATA_AXIS))
+        # the device histogram accumulates in int32 (TPU-native width):
+        # bound the total emitted piece mass (<= sum freq * len) exactly on
+        # host and use the all-host E-step when a count could wrap
+        self._count_overflow = (
+            sum(sentence_freqs[s] * max(len(s), 1) for s in sentences)
+            >= (1 << 31)
+        )
         self._corpus = (
             sentences,
             jax.device_put(chars, shard),
@@ -149,6 +164,8 @@ class DistributedUnigramTrainer(UnigramTrainer):
 
         if self._corpus is None:
             self._stage_corpus(sentence_freqs)
+        if self._count_overflow:
+            return super()._expected_counts(sentence_freqs)
         sentences, chars_dev, lens_dev, freqs_dev, host_idx = self._corpus
 
         # pad the id axis to a power of two for compile-cache reuse

@@ -48,6 +48,7 @@ from ..ops.wordpiece_device import (
     _SEED_CONT2,
     _W,
     _poly_hash_np,
+    rolling_prefix_hashes,
 )
 from ..trainers.wordpiece_trainer import WordPieceTrainer, WordPieceTrainerConfig
 from .mesh import DATA_AXIS, data_mesh
@@ -196,24 +197,7 @@ def _match_count_program(mesh, t_size, s_cap, lt_cap, u_cap, n_shard):
     def match_rows(h1t, h2t, slotv, tchars, tlens, emit, plain_map,
                    cont_map, chars, lens):
         B = chars.shape[0]
-        u = jnp.where(chars >= 0, chars.astype(jnp.uint32) + 1, 0)
-
-        def prefix(base):
-            def step(h, c):
-                h2 = h * base + c
-                return h2, h2
-            _, out = jax.lax.scan(step, jnp.zeros(B, jnp.uint32), u.T)
-            return jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.uint32), out.T], axis=1
-            )
-
-        P1, P2 = prefix(_B1), prefix(_B2)
-        pow1 = jnp.concatenate(
-            [jnp.ones(1, jnp.uint32), jnp.cumprod(jnp.full(W, _B1, jnp.uint32))]
-        )
-        pow2 = jnp.concatenate(
-            [jnp.ones(1, jnp.uint32), jnp.cumprod(jnp.full(W, _B2, jnp.uint32))]
-        )
+        P1, P2, pow1, pow2 = rolling_prefix_hashes(chars)
         ls = jnp.arange(1, lt_cap + 1, dtype=jnp.int32)  # [L]
         lens_i = lens.astype(jnp.int32)
 
@@ -358,6 +342,13 @@ class DistributedWordPieceTrainer(WordPieceTrainer):
             self._mesh = data_mesh()
         return self._mesh
 
+    def _host_fallback(self, word_freqs: Counter):
+        """Delegate the whole run to the host trainer, resetting any
+        partially-built vocab first — the host path assumes a clean start
+        (ids are assigned by insertion order)."""
+        self.vocab = {}
+        return super()._train_from_word_freqs(word_freqs)
+
     def _train_from_word_freqs(self, word_freqs: Counter):
         import jax
         import jax.numpy as jnp
@@ -397,7 +388,7 @@ class DistributedWordPieceTrainer(WordPieceTrainer):
         cap = cfg.vocab_size + 2 * len(alphabet) + len(cfg.special_tokens) + 8
         if cap >= _MAX_SYMS:
             # pair keys pack into (a<<16)|b int32: symbol space too large
-            return super()._train_from_word_freqs(word_freqs)
+            return self._host_fallback(word_freqs)
 
         tables = _MatchTables(2 * cap)
         ok = True
@@ -415,7 +406,7 @@ class DistributedWordPieceTrainer(WordPieceTrainer):
             plain_map[cp] = sym(c)
             cont_map[cp] = sym(prefix + c)
         if not ok:
-            return super()._train_from_word_freqs(word_freqs)
+            return self._host_fallback(word_freqs)
 
         # ---- stage the (constant) word corpus, sharded
         mesh = self._get_mesh()
@@ -423,6 +414,15 @@ class DistributedWordPieceTrainer(WordPieceTrainer):
         words = list(word_freqs.keys())
         host_words = [w for w in words if len(w) > _W]
         dev_words = [w for w in words if len(w) <= _W]
+        # the device pair counts accumulate in int32 (TPU-native width);
+        # bound the total weighted adjacency mass exactly on host and fall
+        # back when a cumsum could wrap (the host trainer uses unbounded
+        # ints, so exactness is preserved either way)
+        pair_weight_bound = sum(
+            word_freqs[w] * max(len(w) - 1, 0) for w in dev_words
+        )
+        if pair_weight_bound >= (1 << 31):
+            return self._host_fallback(word_freqs)
         N = len(dev_words)
         N_pad = max(_pow2(max(N, 1)), n_dev)
         chars = np.full((N_pad, _W), -1, np.int32)
@@ -469,7 +469,7 @@ class DistributedWordPieceTrainer(WordPieceTrainer):
                     break
                 u_cap = _pow2(max_uniq)  # recompile with a larger budget
             else:
-                return super()._train_from_word_freqs(word_freqs)
+                return self._host_fallback(word_freqs)
 
             gkeys = np.asarray(gkeys).reshape(-1)
             gcnts = np.asarray(gcnts).reshape(-1)
@@ -507,14 +507,14 @@ class DistributedWordPieceTrainer(WordPieceTrainer):
             next_id += 1
             s = sym(merged)
             if len(sym_str) >= _MAX_SYMS:
-                return super()._train_from_word_freqs(word_freqs)
+                return self._host_fallback(word_freqs)
             ok = tables.insert_form([ord(c) for c in merged], False, s)
             if merged.startswith(prefix) and len(merged) > len(prefix):
                 ok = ok and tables.insert_form(
                     [ord(c) for c in merged[len(prefix):]], True, s
                 )
             if not ok:
-                return super()._train_from_word_freqs(word_freqs)
+                return self._host_fallback(word_freqs)
 
         return WordPieceModel(
             dict(self.vocab),

@@ -243,3 +243,78 @@ def test_distributed_wordpiece_trainer_overwide_words():
     dist = DistributedWordPieceTrainer(WordPieceTrainerConfig(**cfg))
     dist.train_from_texts(texts)
     assert host.vocab == dist.vocab
+
+
+def test_distributed_wordpiece_fallback_resets_state():
+    """Host-fallback paths must not inherit a partially-built vocab
+    (regression: fallback after vocab init produced duplicate ids)."""
+    from complexity_tokenizer_tpu.parallel.wordpiece_trainer import (
+        DistributedWordPieceTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.wordpiece_trainer import (
+        WordPieceTrainer,
+        WordPieceTrainerConfig,
+    )
+
+    texts = ["aa bb ab ba", "bb aa ab"] * 3
+    # vocab_size large enough that the packed-symbol cap check trips the
+    # host fallback immediately (after specials+alphabet were registered)
+    cfg = dict(vocab_size=32760, min_frequency=1)
+    dist = DistributedWordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    dist.train_from_texts(texts)
+    host = WordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    host.train_from_texts(texts)
+    assert dist.vocab == host.vocab
+    ids = sorted(dist.vocab.values())
+    assert ids == list(range(len(ids)))  # no duplicate / skipped ids
+
+
+def test_distributed_wordpiece_int32_overflow_guard():
+    """Weighted pair mass >= 2^31 must route to the exact host trainer
+    instead of wrapping the device int32 cumsum."""
+    from collections import Counter
+
+    from complexity_tokenizer_tpu.parallel.wordpiece_trainer import (
+        DistributedWordPieceTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.wordpiece_trainer import (
+        WordPieceTrainer,
+        WordPieceTrainerConfig,
+    )
+
+    wf = Counter({"ab": 1 << 31, "ba": 3, "aa": 2})
+    cfg = dict(vocab_size=12, min_frequency=1)
+    dist = DistributedWordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    dist._train_from_word_freqs(Counter(wf))
+    host = WordPieceTrainer(WordPieceTrainerConfig(**cfg))
+    host._train_from_word_freqs(Counter(wf))
+    assert dist.vocab == host.vocab
+
+
+def test_distributed_unigram_reuse_and_overflow_guard():
+    """A reused trainer must re-stage its corpus (regression: the second
+    train ran against the first corpus's tensor); huge sentence freqs
+    route the E-step to host instead of wrapping int32 histograms."""
+    from collections import Counter
+
+    from complexity_tokenizer_tpu.parallel.unigram_trainer import (
+        DistributedUnigramTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.unigram_trainer import (
+        UnigramTrainer,
+        UnigramTrainerConfig,
+    )
+
+    cfg = dict(vocab_size=20, n_iterations=3, max_piece_length=4,
+               initial_vocab_size=150)
+    dist = DistributedUnigramTrainer(UnigramTrainerConfig(**cfg))
+    dist.train_from_texts(["first corpus words here"] * 4)
+    dist.train_from_texts(["totally different second corpus"] * 4)
+    host = UnigramTrainer(UnigramTrainerConfig(**cfg))
+    host.train_from_texts(["totally different second corpus"] * 4)
+    assert dist.vocab == host.vocab
+
+    # overflow guard: sentence freq pushing total piece mass over 2^31
+    d2 = DistributedUnigramTrainer(UnigramTrainerConfig(**cfg))
+    d2._stage_corpus(Counter({"abab": 1 << 29}))
+    assert d2._count_overflow  # 2^29 * len("abab") = 2^31 triggers it
