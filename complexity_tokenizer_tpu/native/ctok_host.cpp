@@ -143,15 +143,20 @@ struct ShortCache {
         mask = m;
     }
 
-    // returns ids count on hit (ids copied to out), -1 on miss
+    // returns ids count on hit (ids copied to out), -1 on miss.  Slots
+    // with ids_len == 1 store the id itself in ids_off (no arena load).
     inline int64_t lookup(uint64_t k, uint8_t len, int32_t* out) const {
         uint64_t h = mix(k, len) & mask;
         for (;;) {
             const Slot& s = slots[h];
             if (!s.len) return -1;
             if (s.key == k && s.len == len) {
-                std::memcpy(out, ids_arena.data() + s.ids_off,
-                            (size_t)s.ids_len * sizeof(int32_t));
+                if (s.ids_len == 1) {
+                    out[0] = (int32_t)s.ids_off;
+                } else {
+                    std::memcpy(out, ids_arena.data() + s.ids_off,
+                                (size_t)s.ids_len * sizeof(int32_t));
+                }
                 return s.ids_len;
             }
             h = (h + 1) & mask;
@@ -167,8 +172,12 @@ struct ShortCache {
         s.key = k;
         s.len = len;
         s.ids_len = (uint8_t)n_ids;
-        s.ids_off = (uint32_t)ids_arena.size();
-        ids_arena.insert(ids_arena.end(), ids, ids + n_ids);
+        if (n_ids == 1) {
+            s.ids_off = (uint32_t)ids[0];
+        } else {
+            s.ids_off = (uint32_t)ids_arena.size();
+            ids_arena.insert(ids_arena.end(), ids, ids + n_ids);
+        }
         ++count;
     }
 };
