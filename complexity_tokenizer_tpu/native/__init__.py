@@ -541,6 +541,13 @@ class NativeDecoder:
         row_offsets = np.ascontiguousarray(row_offsets, np.int64)
         if ids_flat.size == 0:
             ids_flat = np.zeros(1, np.int32)
+        ext = load_ext()
+        if ext is not None and hasattr(ext, "decode_ragged"):
+            texts, flagged = ext.decode_ragged(
+                self._ctx, ids_flat, row_offsets,
+                int(skip_special_tokens), int(cleanup),
+            )
+            return texts, (list(flagged) if flagged is not None else [])
         cap = max(total_ids * 16 + 64, 1024)
         while True:
             out = np.empty(cap, np.uint8)
