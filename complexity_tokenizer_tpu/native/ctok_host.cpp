@@ -39,6 +39,49 @@ struct PairKeyHash {
     }
 };
 
+// Flat open-addressing pair->rank table: the merge loop probes this on
+// every adjacent pair, so the node-based std::unordered_map's pointer
+// chase is the dominant cold-path cost.  Keys are (a<<32)|b with a,b >= 0,
+// so ~0 is a safe empty marker.
+struct RankTable {
+    std::vector<uint64_t> keys;
+    std::vector<int32_t> vals;
+    uint64_t mask = 0;
+    static constexpr uint64_t kEmpty = ~0ull;
+
+    static inline uint64_t hash(uint64_t k) {
+        uint64_t h = k * 0x9E3779B97F4A7C15ull;
+        return h ^ (h >> 32);
+    }
+
+    void build(int64_t n_pairs, const int32_t* pa, const int32_t* pb,
+               const int32_t* pr) {
+        size_t cap = 64;
+        while ((int64_t)cap < n_pairs * 2) cap *= 2;
+        keys.assign(cap, kEmpty);
+        vals.assign(cap, -1);
+        mask = cap - 1;
+        for (int64_t i = 0; i < n_pairs; ++i) {
+            uint64_t k = (uint64_t)(uint32_t)pa[i] << 32 | (uint32_t)pb[i];
+            uint64_t h = hash(k) & mask;
+            while (keys[h] != kEmpty && keys[h] != k) h = (h + 1) & mask;
+            keys[h] = k;
+            vals[h] = pr[i];
+        }
+    }
+
+    // rank or -1
+    inline int32_t find(uint64_t k) const {
+        uint64_t h = hash(k) & mask;
+        for (;;) {
+            uint64_t kk = keys[h];
+            if (kk == k) return vals[h];
+            if (kk == kEmpty) return -1;
+            h = (h + 1) & mask;
+        }
+    }
+};
+
 // Per-thread word -> token-ids memo (the reference recomputes BPE for every
 // occurrence of every word; natural text is Zipf-distributed, so a word
 // cache removes the vast majority of merge-loop work).
@@ -183,7 +226,7 @@ struct ShortCache {
 };
 
 struct Ctx {
-    std::unordered_map<PairKey, int32_t, PairKeyHash> ranks;
+    RankTable ranks;
     std::vector<int32_t> rank_new;  // rank -> minted id (-1 gaps)
     int32_t byte_token[256];
     // GPT-2 classes per codepoint: 0=other,1=ws,2=letter,3=number
@@ -290,11 +333,11 @@ inline void merge_word(const Ctx* c, std::vector<int32_t>& toks) {
         int best_i = -1;
         int32_t best_rank = 0;
         for (size_t i = 0; i + 1 < toks.size(); ++i) {
-            auto it = c->ranks.find(key(toks[i], toks[i + 1]));
-            if (it == c->ranks.end()) continue;
-            if (best_i < 0 || it->second < best_rank) {
+            int32_t r = c->ranks.find(key(toks[i], toks[i + 1]).v);
+            if (r < 0) continue;
+            if (best_i < 0 || r < best_rank) {
                 best_i = (int)i;
-                best_rank = it->second;
+                best_rank = r;
             }
         }
         if (best_i < 0) break;
@@ -741,9 +784,7 @@ void* ctok_new(int64_t n_pairs, const int32_t* pa, const int32_t* pb,
                const int32_t* byte_token, const uint8_t* cls_table,
                int64_t cls_size) {
     Ctx* c = new Ctx();
-    c->ranks.reserve((size_t)n_pairs * 2);
-    for (int64_t i = 0; i < n_pairs; ++i)
-        c->ranks.emplace(key(pa[i], pb[i]), pr[i]);
+    c->ranks.build(n_pairs, pa, pb, pr);
     c->rank_new.assign(rank_new, rank_new + n_ranks);
     std::memcpy(c->byte_token, byte_token, 256 * sizeof(int32_t));
     c->cls_table = cls_table;
