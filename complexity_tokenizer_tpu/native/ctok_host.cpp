@@ -1614,7 +1614,105 @@ static PyObject* ctok_py_decode_ragged(PyObject*, PyObject* args) {
     return Py_BuildValue("(NN)", lst, flagged);
 }
 
+// Build the final framed/truncated/padded id lists for the transformers
+// __call__ fast path in one pass: row = prefix + base + suffix, cut to
+// trunc_len (-1 = no truncation), padded to pad_to (-1 = none; rows
+// already longer stay as-is, matching Encoding.pad's early return).
+static PyObject* ctok_py_frame_rows(PyObject*, PyObject* args) {
+    PyObject *flat_obj, *offs_obj, *prefix_obj, *suffix_obj;
+    long long trunc_len, pad_to;
+    int pad_id, pad_left;
+    if (!PyArg_ParseTuple(args, "OOOOLLii", &flat_obj, &offs_obj,
+                          &prefix_obj, &suffix_obj, &trunc_len, &pad_to,
+                          &pad_id, &pad_left))
+        return nullptr;
+    Py_buffer flat_buf, offs_buf;
+    if (PyObject_GetBuffer(flat_obj, &flat_buf, PyBUF_C_CONTIGUOUS) < 0)
+        return nullptr;
+    if (PyObject_GetBuffer(offs_obj, &offs_buf, PyBUF_C_CONTIGUOUS) < 0) {
+        PyBuffer_Release(&flat_buf);
+        return nullptr;
+    }
+    const int32_t* flat = (const int32_t*)flat_buf.buf;
+    const int64_t* offs = (const int64_t*)offs_buf.buf;
+    int64_t n = (int64_t)(offs_buf.len / (Py_ssize_t)sizeof(int64_t)) - 1;
+    std::vector<int32_t> prefix, suffix;
+    bool ok = n >= 0 &&
+              (n == 0 || (offs[n] >= 0 &&
+                          offs[n] <= (int64_t)(flat_buf.len /
+                                               (Py_ssize_t)sizeof(int32_t))));
+    for (PyObject* seq_obj : {prefix_obj, suffix_obj}) {
+        if (!ok) break;
+        PyObject* seq = PySequence_Fast(seq_obj, "prefix/suffix");
+        if (!seq) { ok = false; break; }
+        std::vector<int32_t>& dst = seq_obj == prefix_obj ? prefix : suffix;
+        for (Py_ssize_t i = 0; i < PySequence_Fast_GET_SIZE(seq); ++i) {
+            long v = PyLong_AsLong(PySequence_Fast_GET_ITEM(seq, i));
+            if (v == -1 && PyErr_Occurred()) { ok = false; break; }
+            dst.push_back((int32_t)v);
+        }
+        Py_DECREF(seq);
+    }
+    if (!ok) {
+        PyBuffer_Release(&flat_buf);
+        PyBuffer_Release(&offs_buf);
+        if (!PyErr_Occurred())
+            PyErr_SetString(PyExc_ValueError, "inconsistent frame_rows input");
+        return nullptr;
+    }
+    int64_t p = (int64_t)prefix.size(), s = (int64_t)suffix.size();
+    PyObject* rows = PyList_New((Py_ssize_t)n);
+    if (!rows) {
+        PyBuffer_Release(&flat_buf);
+        PyBuffer_Release(&offs_buf);
+        return nullptr;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t nb = offs[i + 1] - offs[i];
+        int64_t m = p + nb + s;
+        int64_t t = (trunc_len >= 0 && m > trunc_len) ? trunc_len : m;
+        int64_t final_len = (pad_to >= 0 && pad_to > t) ? pad_to : t;
+        PyObject* row = PyList_New((Py_ssize_t)final_len);
+        if (!row) {
+            Py_DECREF(rows);
+            PyBuffer_Release(&flat_buf);
+            PyBuffer_Release(&offs_buf);
+            return nullptr;
+        }
+        int64_t w = pad_left ? final_len - t : 0;
+        bool fail = false;
+        for (int64_t k = 0; k < t && !fail; ++k, ++w) {
+            int32_t v = k < p ? prefix[(size_t)k]
+                       : k < p + nb ? flat[offs[i] + (k - p)]
+                                    : suffix[(size_t)(k - p - nb)];
+            PyObject* o = cached_long(v);
+            if (!o) fail = true;
+            else PyList_SET_ITEM(row, (Py_ssize_t)w, o);
+        }
+        int64_t pad_at = pad_left ? 0 : t;
+        for (int64_t k = 0; k < final_len - t && !fail; ++k) {
+            PyObject* o = cached_long(pad_id);
+            if (!o) fail = true;
+            else PyList_SET_ITEM(row, (Py_ssize_t)(pad_at + k), o);
+        }
+        if (fail) {
+            Py_DECREF(row);
+            Py_DECREF(rows);
+            PyBuffer_Release(&flat_buf);
+            PyBuffer_Release(&offs_buf);
+            return nullptr;
+        }
+        PyList_SET_ITEM(rows, (Py_ssize_t)i, row);
+    }
+    PyBuffer_Release(&flat_buf);
+    PyBuffer_Release(&offs_buf);
+    return rows;
+}
+
 static PyMethodDef CtokExtMethods[] = {
+    {"frame_rows", ctok_py_frame_rows, METH_VARARGS,
+     "frame_rows(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
+     "pad_left) -> list[list[int]]"},
     {"decode_ragged", ctok_py_decode_ragged, METH_VARARGS,
      "decode_ragged(dec_ctx, ids_flat, row_offsets, skip_special, cleanup)"
      " -> (list[str|None], flagged indices or None)"},

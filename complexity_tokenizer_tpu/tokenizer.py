@@ -987,6 +987,21 @@ class Tokenizer:
                     for a, b in zip(texts, pairs)
                 ]
             else:
+                if add_special_tokens and not return_offsets_mapping:
+                    cbe = self._call_batch_columnar(
+                        texts,
+                        padding,
+                        truncation,
+                        max_length
+                        if max_length is not None
+                        else self._model_max_length,
+                        stride,
+                        return_attention_mask,
+                        return_token_type_ids,
+                        return_special_tokens_mask,
+                    )
+                    if cbe is not None:
+                        return cbe
                 encs = self._call_batch_fast(texts, add_special_tokens)
                 if encs is None:
                     encs = [
@@ -1078,36 +1093,136 @@ class Tokenizer:
         rows = native.encode_rows_fused(normalized, aps, None)
         if rows is None:
             rows = native.encode_batch(self._prepare_bytes(normalized))
-        spec_ids = list(self.special_tokens.values())
+        return [
+            self._build_call_encoding(text, ids)
+            for text, ids in zip(texts, rows)
+        ]
+
+    def _build_call_encoding(self, text: str, ids: list[int]) -> Encoding:
+        """One add_special_tokens=True ``__call__`` Encoding from base ids
+        (the quirk-exact per-row flow of mod.rs:372-385; offsets/word_ids
+        deferred)."""
+        id2tok = self._id_to_token_list()
+        nv = len(id2tok)
         pp = self.post_processor
-        encs = []
-        for text, ids in zip(texts, rows):
-            base_n = len(ids)
-            tokens = [
-                id2tok[i] if 0 <= i < nv and id2tok[i] is not None else ""
-                for i in ids
-            ]
-            processed = pp.process(list(ids), None) if pp is not None else list(ids)
-            added = len(processed) - base_n
-            enc = Encoding(
-                ids=processed,
-                type_ids=[0] * (base_n + added),
-                tokens=tokens,
-                attention_mask=[1] * (base_n + added),
-                special_tokens_mask=[0] * base_n + [1] * added,
-                offsets=[],
-                word_ids=[],
-                sequence_ids=[0] * base_n,
-                overflowing=[],
-            )
-            enc.mark_special_tokens(spec_ids)
-            enc._defer_aux(
-                lambda t=text: (
-                    lambda e: (e.offsets, e.word_ids)
-                )(self._encode_single_to_encoding(t, 0))
-            )
-            encs.append(enc)
-        return encs
+        base_n = len(ids)
+        tokens = [
+            id2tok[i] if 0 <= i < nv and id2tok[i] is not None else ""
+            for i in ids
+        ]
+        processed = pp.process(list(ids), None) if pp is not None else list(ids)
+        added = len(processed) - base_n
+        enc = Encoding(
+            ids=processed,
+            type_ids=[0] * (base_n + added),
+            tokens=tokens,
+            attention_mask=[1] * (base_n + added),
+            special_tokens_mask=[0] * base_n + [1] * added,
+            offsets=[],
+            word_ids=[],
+            sequence_ids=[0] * base_n,
+            overflowing=[],
+        )
+        enc.mark_special_tokens(list(self.special_tokens.values()))
+        enc._defer_aux(
+            lambda t=text: (
+                lambda e: (e.offsets, e.word_ids)
+            )(self._encode_single_to_encoding(t, 0))
+        )
+        return enc
+
+    def _static_frame(self):
+        """(prefix_ids, suffix_ids) when the post-processor's single-
+        sequence behavior is a static frame around $A, else None."""
+        from .core.postprocessors import (
+            BertProcessing,
+            RobertaProcessing,
+            TemplateProcessing,
+        )
+
+        pp = self.post_processor
+        if pp is None:
+            return [], []
+        if isinstance(pp, TemplateProcessing):
+            if pp.single.count("$A") != 1 or "$B" in pp.single:
+                return None
+            return pp.compile_single()
+        if isinstance(pp, BertProcessing):
+            return [pp.cls[1]], [pp.sep[1]]
+        if isinstance(pp, RobertaProcessing):
+            return [pp.bos[1]], [pp.eos[1]]
+        return None
+
+    def _call_batch_columnar(
+        self,
+        texts,
+        padding,
+        truncation,
+        max_len,
+        stride,
+        return_attention_mask,
+        return_token_type_ids,
+        return_special_tokens_mask,
+    ):
+        """Columnar ``__call__`` result (ColumnarBatchEncoding) — the
+        batch fields come straight from the native ragged encode + static
+        frame, no per-row Encoding construction.  None when ineligible."""
+        from .core.pretokenizers import ByteLevel as _BL
+
+        if not isinstance(self.pre_tokenizer, _BL):
+            return None
+        frame = self._static_frame()
+        if frame is None:
+            return None
+        native = self._get_native_encoder()
+        if native is None:
+            return None
+        from .native import load_ext
+
+        ext = load_ext()
+        if ext is None or not hasattr(ext, "frame_rows"):
+            return None
+        normalized = self._normalize_batch(texts)
+        aps = self._byte_level_prefix_space()
+        fused = native.encode_ragged_fused(normalized, aps, None)
+        if fused is None:
+            return None
+        flat, offs, _flagged = fused  # patterns=None -> nothing flagged
+        prefix, suffix = frame
+        import numpy as np
+
+        pad_id, pad_token = self._pad_id_token()
+        pad_left = padding == "left" or self._padding_side == "left"
+        pad_to = 0
+        if padding is not None:
+            if padding == "max_length":
+                pad_to = max_len
+            else:
+                n = np.diff(np.asarray(offs, np.int64))
+                m = n + len(prefix) + len(suffix)
+                t = np.minimum(m, max_len) if truncation else m
+                pad_to = int(t.max(initial=0))
+        from .batch_encoding import ColumnarBatchEncoding
+
+        return ColumnarBatchEncoding(
+            self,
+            texts,
+            flat,
+            offs,
+            prefix,
+            suffix,
+            bool(truncation),
+            int(max_len),
+            int(stride),
+            padding,
+            int(pad_to),
+            pad_id,
+            pad_token,
+            bool(pad_left),
+            return_attention_mask,
+            return_token_type_ids,
+            return_special_tokens_mask,
+        )
 
     def _call_one(self, text, pair, add_special_tokens) -> Encoding:
         if pair is not None:

@@ -1,0 +1,168 @@
+"""Columnar ``__call__`` fast path (ColumnarBatchEncoding) vs the per-row
+Encoding path: every batch-level field and every lazily-materialized row
+must be bit-identical across padding/truncation/stride/side configs and
+across static-frameable post-processors."""
+
+import itertools
+
+import pytest
+
+from complexity_tokenizer_tpu.batch_encoding import ColumnarBatchEncoding
+from complexity_tokenizer_tpu.core.postprocessors import (
+    BertProcessing,
+    RobertaProcessing,
+    TemplateProcessing,
+)
+
+from helpers import conformance_corpus, trained_tokenizer
+
+FIELDS = (
+    "input_ids",
+    "attention_mask",
+    "token_type_ids",
+    "special_tokens_mask",
+)
+
+
+def _per_row(tok, *args, **kwargs):
+    orig = tok._call_batch_columnar
+    tok._call_batch_columnar = lambda *a, **k: None
+    try:
+        return tok(*args, **kwargs)
+    finally:
+        tok._call_batch_columnar = orig
+
+
+def _texts():
+    return conformance_corpus() + ["", " ", "a"]
+
+
+@pytest.mark.parametrize(
+    "padding,truncation,max_length,stride,side",
+    [
+        (p, t, m, s, side)
+        for p, t, m, s, side in itertools.product(
+            [None, "longest", "max_length", "left"],
+            [False, True],
+            [12, 48, None],
+            [0, 3],
+            ["right", "left"],
+        )
+        if not (s and not t)
+    ],
+)
+def test_columnar_call_matches_per_row(
+    padding, truncation, max_length, stride, side
+):
+    tok = trained_tokenizer()
+    tok.set_padding_side(side)
+    kwargs = dict(
+        padding=padding,
+        truncation=truncation,
+        max_length=max_length,
+        stride=stride,
+        return_special_tokens_mask=True,
+    )
+    texts = _texts()
+    got = tok(texts, **kwargs)
+    ref = _per_row(tok, texts, **kwargs)
+    assert isinstance(got, ColumnarBatchEncoding)
+    for f in FIELDS:
+        assert getattr(got, f) == getattr(ref, f), f
+    # lazy per-row materialization replays the per-row path exactly
+    for i in (0, 5, len(texts) - 1):
+        ea, eb = got[i], ref[i]
+        assert ea.ids == eb.ids
+        assert ea.tokens == eb.tokens
+        assert ea.type_ids == eb.type_ids
+        assert ea.attention_mask == eb.attention_mask
+        assert ea.special_tokens_mask == eb.special_tokens_mask
+        assert ea.sequence_ids == eb.sequence_ids
+        assert ea.n_overflowing() == eb.n_overflowing()
+        for w_a, w_b in zip(ea.overflowing, eb.overflowing):
+            assert w_a.ids == w_b.ids
+        assert ea.offsets == eb.offsets  # forces the lazy aux thunk
+        assert ea.word_ids == eb.word_ids
+
+
+@pytest.mark.parametrize(
+    "pp,expect_columnar",
+    [
+        (None, True),
+        (
+            TemplateProcessing(
+                single="<s> $A </s>",
+                special_tokens=[("<s>", 5), ("</s>", 6)],
+            ),
+            True,
+        ),
+        (
+            TemplateProcessing(
+                single="$A </s>", special_tokens=[("</s>", 6)]
+            ),
+            True,
+        ),
+        (
+            TemplateProcessing(
+                single="<s> <s> $A", special_tokens=[("<s>", 5)]
+            ),
+            True,
+        ),
+        (BertProcessing(cls=("[CLS]", 3), sep=("[SEP]", 4)), True),
+        (RobertaProcessing(bos=("<s>", 5), eos=("</s>", 6)), True),
+        # $A twice: not a static frame -> must fall back, stay correct
+        (
+            TemplateProcessing(
+                single="$A </s> $A", special_tokens=[("</s>", 6)]
+            ),
+            False,
+        ),
+    ],
+)
+def test_columnar_call_frames(pp, expect_columnar):
+    tok = trained_tokenizer()
+    tok.set_post_processor(pp)
+    kwargs = dict(
+        padding="longest",
+        truncation=True,
+        max_length=24,
+        return_special_tokens_mask=True,
+    )
+    texts = _texts()
+    got = tok(texts, **kwargs)
+    ref = _per_row(tok, texts, **kwargs)
+    assert isinstance(got, ColumnarBatchEncoding) == expect_columnar
+    for f in FIELDS:
+        assert getattr(got, f) == getattr(ref, f), f
+    ea, eb = got[2], ref[2]
+    assert ea.ids == eb.ids
+    assert ea.special_tokens_mask == eb.special_tokens_mask
+
+
+def test_columnar_numpy_exports_and_dict():
+    tok = trained_tokenizer()
+    texts = _texts()
+    got = tok(texts, padding="longest", truncation=True, max_length=24)
+    ref = _per_row(
+        tok, texts, padding="longest", truncation=True, max_length=24
+    )
+    for a, b in zip(got.input_ids_as_numpy(), ref.input_ids_as_numpy()):
+        assert a.tolist() == b.tolist()
+    for a, b in zip(
+        got.attention_mask_as_numpy(), ref.attention_mask_as_numpy()
+    ):
+        assert a.tolist() == b.tolist()
+    assert got.to_dict() == ref.to_dict()
+    assert got.keys() == ref.keys()
+    assert len(got) == len(ref)
+    assert got["input_ids"] == ref["input_ids"]
+    assert len(got.encodings()) == len(texts)
+
+
+def test_columnar_offsets_requested_falls_back():
+    tok = trained_tokenizer()
+    texts = _texts()[:8]
+    got = tok(texts, return_offsets_mapping=True)
+    assert not isinstance(got, ColumnarBatchEncoding)
+    ref = _per_row(tok, texts, return_offsets_mapping=True)
+    assert got.offset_mapping == ref.offset_mapping
