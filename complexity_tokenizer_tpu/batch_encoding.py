@@ -13,7 +13,26 @@ from .core.encoding import Encoding
 __all__ = ["BatchEncoding", "ColumnarBatchEncoding"]
 
 
+def _to_tensor(rows, kind: str):
+    """Stack equal-length rows into one array ("np" or "jax")."""
+    arr = np.asarray(rows, dtype=np.int32)
+    if arr.dtype == object:  # ragged
+        raise ValueError(
+            "return_tensors requires padding (rows have unequal lengths)"
+        )
+    if kind == "jax":
+        import jax.numpy as jnp
+
+        return jnp.asarray(arr)
+    return arr
+
+
 class BatchEncoding:
+    # extension over the reference surface: tokenizer(..., return_tensors=
+    # "np"|"jax") makes input_ids/attention_mask/... come back as stacked
+    # arrays ready for device feeding instead of list-of-lists
+    _tensor_kind: str | None = None
+
     def __init__(
         self,
         encodings: list[Encoding],
@@ -28,27 +47,34 @@ class BatchEncoding:
         self.return_offsets_mapping = return_offsets_mapping
         self.return_special_tokens_mask = return_special_tokens_mask
 
+    def _maybe_tensor(self, rows):
+        return _to_tensor(rows, self._tensor_kind)
+
     @property
     def input_ids(self):
-        return [e.ids for e in self._encodings]
+        rows = [e.ids for e in self._encodings]
+        return self._maybe_tensor(rows) if self._tensor_kind else rows
 
     @property
     def attention_mask(self):
         if not self.return_attention_mask:
             return []
-        return [e.attention_mask for e in self._encodings]
+        rows = [e.attention_mask for e in self._encodings]
+        return self._maybe_tensor(rows) if self._tensor_kind else rows
 
     @property
     def token_type_ids(self):
         if not self.return_token_type_ids:
             return []
-        return [e.type_ids for e in self._encodings]
+        rows = [e.type_ids for e in self._encodings]
+        return self._maybe_tensor(rows) if self._tensor_kind else rows
 
     @property
     def special_tokens_mask(self):
         if not self.return_special_tokens_mask:
             return []
-        return [e.special_tokens_mask for e in self._encodings]
+        rows = [e.special_tokens_mask for e in self._encodings]
+        return self._maybe_tensor(rows) if self._tensor_kind else rows
 
     @property
     def offset_mapping(self):
@@ -171,8 +197,7 @@ class ColumnarBatchEncoding(BatchEncoding):
         return len(self._t)
 
     # -- columnar fields ------------------------------------------------
-    @property
-    def input_ids(self):
+    def _frame_rows(self):
         if self._rows_cache is None:
             from .native import load_ext
 
@@ -191,10 +216,33 @@ class ColumnarBatchEncoding(BatchEncoding):
             )
         return self._rows_cache
 
+    def _check_rect(self):
+        lens = self._final
+        if len(lens) and int(lens.min()) != int(lens.max()):
+            raise ValueError(
+                "return_tensors requires padding (rows have unequal lengths)"
+            )
+
+    @property
+    def input_ids(self):
+        if self._tensor_kind is not None:
+            self._check_rect()
+            mat, _ = self._ids_matrix()
+            return self._maybe_tensor(mat)
+        return self._frame_rows()
+
     @property
     def attention_mask(self):
         if not self.return_attention_mask:
             return []
+        if self._tensor_kind is not None:
+            self._check_rect()
+            L = int(self._final.max(initial=0))
+            pos = np.arange(L, dtype=np.int64)[None, :]
+            t = np.asarray(self._t, np.int64)[:, None]
+            f = np.asarray(self._final, np.int64)[:, None]
+            mask = pos >= f - t if self._pad_left else pos < t
+            return self._maybe_tensor(mask.astype(np.int32))
         if self._pad_left:
             return [
                 [0] * int(f - t) + [1] * int(t)
@@ -209,12 +257,25 @@ class ColumnarBatchEncoding(BatchEncoding):
     def token_type_ids(self):
         if not self.return_token_type_ids:
             return []
+        if self._tensor_kind is not None:
+            self._check_rect()
+            L = int(self._final.max(initial=0))
+            return self._maybe_tensor(
+                np.zeros((len(self._final), L), np.int32)
+            )
         return [[0] * int(f) for f in self._final]
 
     @property
     def special_tokens_mask(self):
         if not self.return_special_tokens_mask:
             return []
+        if self._tensor_kind is not None:
+            self._check_rect()
+            rows = self._special_mask_rows()
+            return self._maybe_tensor(np.asarray(rows, np.int32))
+        return self._special_mask_rows()
+
+    def _special_mask_rows(self):
         mat, lens = self._ids_matrix()
         spec_ids = list(self._tok.special_tokens.values())
         max_id = int(mat.max(initial=0))
@@ -240,7 +301,7 @@ class ColumnarBatchEncoding(BatchEncoding):
     def _ids_matrix(self):
         """(padded [B, Lmax] int32 matrix, per-row final lengths)."""
         if self._mat_cache is None:
-            rows = self.input_ids
+            rows = self._frame_rows()
             lens = self._final
             Lmax = int(lens.max(initial=0))
             mat = np.full((len(rows), Lmax), self._pad_id, np.int32)

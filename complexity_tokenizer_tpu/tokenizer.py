@@ -977,7 +977,13 @@ class Tokenizer:
         return_token_type_ids: bool = True,
         return_offsets_mapping: bool = False,
         return_special_tokens_mask: bool = False,
+        return_tensors: str | None = None,
     ) -> BatchEncoding:
+        # return_tensors ("np" | "jax") is a TPU-framework extension over
+        # the reference __call__ (bindings/tokenizer.rs:46-59): fields come
+        # back stacked as arrays ready for device feeding
+        if return_tensors not in (None, "np", "jax"):
+            raise ValueError("return_tensors must be None, 'np' or 'jax'")
         if isinstance(text, (list, tuple)):
             texts = list(text)
             pairs = list(text_pair) if text_pair is not None else None
@@ -1001,6 +1007,7 @@ class Tokenizer:
                         return_special_tokens_mask,
                     )
                     if cbe is not None:
+                        cbe._tensor_kind = return_tensors
                         return cbe
                 encs = self._call_batch_fast(texts, add_special_tokens)
                 if encs is None:
@@ -1032,13 +1039,15 @@ class Tokenizer:
             for e in encs:
                 e.pad(pad_to, pad_id, pad_token, pad_left)
 
-        return BatchEncoding(
+        be = BatchEncoding(
             encs,
             return_attention_mask,
             return_token_type_ids,
             return_offsets_mapping,
             return_special_tokens_mask,
         )
+        be._tensor_kind = return_tensors
+        return be
 
     def _id_to_token_list(self) -> list:
         """Dense id -> token-string list (None gaps) for fast gathers."""

@@ -166,3 +166,57 @@ def test_columnar_offsets_requested_falls_back():
     assert not isinstance(got, ColumnarBatchEncoding)
     ref = _per_row(tok, texts, return_offsets_mapping=True)
     assert got.offset_mapping == ref.offset_mapping
+
+
+def test_return_tensors_np_and_jax():
+    import numpy as np
+
+    tok = trained_tokenizer()
+    texts = _texts()
+    got = tok(
+        texts,
+        padding="longest",
+        truncation=True,
+        max_length=24,
+        return_tensors="np",
+        return_special_tokens_mask=True,
+    )
+    ref = _per_row(
+        tok,
+        texts,
+        padding="longest",
+        truncation=True,
+        max_length=24,
+        return_special_tokens_mask=True,
+    )
+    assert isinstance(got.input_ids, np.ndarray)
+    assert got.input_ids.tolist() == ref.input_ids
+    assert got.attention_mask.tolist() == ref.attention_mask
+    assert got.token_type_ids.tolist() == ref.token_type_ids
+    assert got.special_tokens_mask.tolist() == ref.special_tokens_mask
+    # per-row path with return_tensors must produce the same arrays
+    ref_t = _per_row(
+        tok, texts, padding="longest", truncation=True, max_length=24,
+        return_tensors="np",
+    )
+    assert ref_t.input_ids.tolist() == got.input_ids.tolist()
+    # jax output
+    got_j = tok(
+        texts, padding="max_length", truncation=True, max_length=16,
+        return_tensors="jax",
+    )
+    import jax.numpy as jnp
+
+    assert isinstance(got_j.input_ids, jnp.ndarray)
+    assert got_j.input_ids.shape == (len(texts), 16)
+
+
+def test_return_tensors_requires_padding():
+    import pytest as _pytest
+
+    tok = trained_tokenizer()
+    texts = ["one two three", "a much longer sentence here"]
+    with _pytest.raises(ValueError):
+        tok(texts, return_tensors="np").input_ids
+    with _pytest.raises(ValueError):
+        _per_row(tok, texts, return_tensors="np").input_ids
