@@ -146,6 +146,16 @@ def main():
     best_lists = _time_best(lambda: tok.encode_batch(texts), n=3)
     detail["list_output_bytes_per_s"] = round(total_bytes / best_lists, 1)
 
+    # transformers-style __call__ (columnar fast path): pad+truncate to a
+    # [B, 128] batch, reading input_ids + attention_mask
+    def _call_fields():
+        e = tok(texts, padding="longest", truncation=True, max_length=128)
+        return e.input_ids, e.attention_mask
+
+    _call_fields()
+    best_call = _time_best(_call_fields, n=3)
+    detail["call_pad_trunc_bytes_per_s"] = round(total_bytes / best_call, 1)
+
     # decode round-trip (BASELINE config 4): ragged zero-copy decode
     flat, offs = tok.encode_batch_ragged(texts)
     tok.decode_batch_ragged(flat, offs)
