@@ -172,6 +172,16 @@ def test_native_decoder_matches_python():
     # weird rows: empty, unknown ids, special ids, id order reversed
     specials = sorted(tok.special_tokens.values())
     rows += [[], [999999, 5, -3], specials, list(reversed(rows[0]))]
+    # invalid-UTF-8 row (a lone continuation-byte token): must flag and
+    # take the exact lossy host path
+    from complexity_tokenizer_tpu.utils.bytelevel import unicode_to_bytes
+
+    u2b = unicode_to_bytes()
+    for t, tid in tok.vocab._token_to_id.items():
+        if len(t) == 1 and t in u2b and 0x80 <= u2b[t] < 0xC0:
+            rows.append([tid, tid, tid])
+            rows.append(rows[0] + [tid])
+            break
     for skip in (False, True):
         for cleanup in (False, True):
             exp = [tok._decode_impl(r, skip, cleanup) for r in rows]
