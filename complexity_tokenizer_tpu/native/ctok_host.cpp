@@ -145,7 +145,9 @@ struct WordCache {
     }
 };
 
-constexpr int kMaxThreads = 16;
+// Upper bound on worker threads (per-thread caches are lazily sized, so a
+// high cap costs nothing on small machines; TPU pod hosts have 100+ vCPUs)
+constexpr int kMaxThreads = 96;
 constexpr int64_t kMaxCachedWord = 256;
 
 // Short-word cache: GPT-2 pre-split words are Zipf-distributed and mostly
