@@ -206,65 +206,103 @@ class DistributedInlTrainer(InlBpeTrainer):
 
         print("Step 4: Learning merges with INL dynamics (device steps)...")
         target = cfg.vocab_size
-        rebuild_interval = 100
-        while len(self.vocab) < target:
-            pairs, order = self._ordered_pairs()
-            pos = 0
-            n_ord = len(order)
-            progressed = False
-            for _ in range(rebuild_interval):
-                if len(self.vocab) >= target:
-                    break
-                pair = None
-                while pos < n_ord:
-                    cand = pairs[order[pos]]
-                    pos += 1
-                    if self.pair_freqs.get(cand, 0) > 0:
-                        pair = cand
-                        break
-                if pair is None:
-                    break
-                a, b = pair
-                merged = self.vocab_r[a] + self.vocab_r[b]
-                new_id = len(self.vocab)
-                self.vocab[merged] = new_id
-                self.vocab_r[new_id] = merged
-                self.merges.append((self.vocab_r[a], self.vocab_r[b]))
 
-                words_dev, delta, minted = sharded_step(
-                    words_dev,
-                    freqs_dev,
-                    jnp.int32(a),
-                    jnp.int32(b),
-                    jnp.int32(new_id),
-                )
-                self._apply_delta_hist(
-                    np.asarray(delta), int(minted), a, b, new_id
-                )
-                v_a = self.velocity.get(a, 0.0)
-                v_b = self.velocity.get(b, 0.0)
-                self.velocity[new_id] = (v_a + v_b) / 2.0
-                progressed = True
-            if not progressed:
-                break
-            if not any(v > 0 for v in self.pair_freqs.values()):
-                break
+        def mint(pair):
+            """One device merge step; returns the touched pairs."""
+            nonlocal words_dev
+            a, b = pair
+            merged = self.vocab_r[a] + self.vocab_r[b]
+            new_id = len(self.vocab)
+            self.vocab[merged] = new_id
+            self.vocab_r[new_id] = merged
+            self.merges.append((self.vocab_r[a], self.vocab_r[b]))
+            words_dev, delta, minted = sharded_step(
+                words_dev,
+                freqs_dev,
+                jnp.int32(a),
+                jnp.int32(b),
+                jnp.int32(new_id),
+            )
+            touched = self._apply_delta_hist(
+                np.asarray(delta), int(minted), a, b, new_id
+            )
+            v_a = self.velocity.get(a, 0.0)
+            v_b = self.velocity.get(b, 0.0)
+            self.velocity[new_id] = (v_a + v_b) / 2.0
+            return touched
+
+        # selection mirrors the host trainer exactly (inl_trainer.py
+        # _learn_merges): classic mode = exact lazy-deletion heap fed by
+        # the touched pairs of each merge; INL mode = the reference's
+        # 100-merge rebuild walk.  Both therefore produce merge tables
+        # identical to the host trainer on any mesh/host count.
+        if cfg.inl_gate == 0.0:
+            import heapq
+
+            pf = self.pair_freqs
+            heap = [(-f, p) for p, f in pf.items() if f > 0]
+            heapq.heapify(heap)
+            while len(self.vocab) < target and heap:
+                nf, pair = heapq.heappop(heap)
+                if pf.get(pair, 0) != -nf:
+                    continue  # stale
+                for p in mint(pair):
+                    f = self.pair_freqs.get(p, 0)
+                    if f > 0:
+                        heapq.heappush(heap, (-f, p))
+        else:
+            rebuild_interval = 100
+            while len(self.vocab) < target:
+                pairs, order = self._ordered_pairs()
+                pos = 0
+                n_ord = len(order)
+                progressed = False
+                for _ in range(rebuild_interval):
+                    if len(self.vocab) >= target:
+                        break
+                    pair = None
+                    while pos < n_ord:
+                        cand = pairs[order[pos]]
+                        pos += 1
+                        if self.pair_freqs.get(cand, 0) > 0:
+                            pair = cand
+                            break
+                    if pair is None:
+                        break
+                    mint(pair)
+                    progressed = True
+                if not progressed:
+                    break
+                if not any(v > 0 for v in self.pair_freqs.values()):
+                    break
         print(f"  Final vocab size: {len(self.vocab)}")
         print(f"  Total merges: {len(self.merges)}")
 
     def _apply_delta_hist(self, delta: np.ndarray, minted: int, a, b, new_id):
+        """Fold the psum'd delta histogram into pair_freqs; returns the
+        set of touched pairs (counts changed) for incremental heap
+        updates, mirroring the host _apply_merge contract."""
         pf = self.pair_freqs
         pf.pop((a, b), None)
         if not isinstance(pf, defaultdict):
             self.pair_freqs = pf = defaultdict(int, pf)
+        touched = set()
         for x in np.nonzero(delta[:, 0])[0]:
-            pf[(int(x), a)] -= int(delta[x, 0])
+            p = (int(x), a)
+            pf[p] -= int(delta[x, 0])
+            touched.add(p)
         for y in np.nonzero(delta[:, 1])[0]:
-            pf[(b, int(y))] -= int(delta[y, 1])
+            p = (b, int(y))
+            pf[p] -= int(delta[y, 1])
+            touched.add(p)
         for x in np.nonzero(delta[:, 2])[0]:
-            pf[(int(x), new_id)] += int(delta[x, 2])
+            p = (int(x), new_id)
+            pf[p] += int(delta[x, 2])
+            touched.add(p)
         for y in np.nonzero(delta[:, 3])[0]:
-            pf[(new_id, int(y))] += int(delta[y, 3])
+            p = (new_id, int(y))
+            pf[p] += int(delta[y, 3])
+            touched.add(p)
         for p in [p for p, v in pf.items() if v <= 0]:
             del pf[p]
         if a in self.token_freqs:
@@ -272,3 +310,4 @@ class DistributedInlTrainer(InlBpeTrainer):
         if b in self.token_freqs:
             self.token_freqs[b] = max(self.token_freqs[b] - minted, 0)
         self.token_freqs[new_id] = minted
+        return touched

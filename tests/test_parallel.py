@@ -318,3 +318,90 @@ def test_distributed_unigram_reuse_and_overflow_guard():
     d2 = DistributedUnigramTrainer(UnigramTrainerConfig(**cfg))
     d2._stage_corpus(Counter({"abab": 1 << 29}))
     assert d2._count_overflow  # 2^29 * len("abab") = 2^31 triggers it
+
+
+def test_distributed_trainer_classic_mode_matches_host():
+    """Classic mode (INL gate 0) uses the exact lazy-deletion heap: newly
+    created pairs must be eligible immediately (regression: the interval
+    walk reused a stale order for 100 merges and diverged from the host)."""
+    from complexity_tokenizer_tpu.parallel.trainer import DistributedInlTrainer
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    texts = ["hello world hello", "the quick brown fox", "worldly words matter"] * 30
+    cfg = dict(
+        vocab_size=400, min_frequency=1, inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0
+    )
+    host = InlBpeTrainer(TrainerConfig(**cfg))
+    host.train_from_texts(list(texts))
+    dist = DistributedInlTrainer(TrainerConfig(**cfg))
+    dist.train_from_texts(list(texts))
+    assert dist.merges == host.merges
+    assert dist.vocab == host.vocab
+
+
+def test_distributed_trainer_two_process_cluster():
+    """Genuine multi-controller run: two jax.distributed processes with 4
+    CPU devices each train the distributed INL trainer over the shared
+    8-device mesh; both must reproduce the host trainer's merges exactly
+    (SURVEY §5.8 multi-host story)."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = textwrap.dedent(
+        """
+        import sys, os
+        proc_id = int(sys.argv[1]); port = sys.argv[2]
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        sys.path.insert(0, %r)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize("127.0.0.1:" + port, 2, proc_id)
+        assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+        from complexity_tokenizer_tpu.parallel.trainer import DistributedInlTrainer
+        from complexity_tokenizer_tpu.trainers.inl_trainer import InlBpeTrainer, TrainerConfig
+        texts = ["hello world hello", "the quick brown fox", "worldly words matter"] * 30
+        cfg = dict(vocab_size=300, min_frequency=1, inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0)
+        dt = DistributedInlTrainer(TrainerConfig(**cfg)); dt.train_from_texts(texts)
+        ht = InlBpeTrainer(TrainerConfig(**cfg)); ht.train_from_texts(texts)
+        assert dt.merges == ht.merges and dt.vocab == ht.vocab
+        print("MULTIPROC_OK", flush=True)
+        """
+    ) % (str(__import__("pathlib").Path(__file__).resolve().parents[1]),)
+
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, str(i), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert "MULTIPROC_OK" in out, out[-2000:]
