@@ -68,14 +68,19 @@ def _counts_program(mesh, size, n_buckets, Lt, maxcand, Vp):
         hist = hist.at[jnp.where(ok, out, Vp)].add(
             jnp.where(ok, freqs[:, None], 0)
         )
-        return jax.lax.psum(hist[:Vp], DATA_AXIS), poison
+        # poison comes back replicated (all_gather over the data axis):
+        # every controller needs the full poisoned-row set for the host
+        # re-segmentation, and a data-sharded output cannot be fetched on
+        # a multi-process mesh (it spans non-addressable devices)
+        poison_full = jax.lax.all_gather(poison, DATA_AXIS, axis=0, tiled=True)
+        return jax.lax.psum(hist[:Vp], DATA_AXIS), poison_full
 
     prog = jax.jit(
         jax.shard_map(
             fn,
             mesh=mesh,
             in_specs=(P(),) * 6 + (P(DATA_AXIS),) * 3,
-            out_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
             # the Viterbi scan/while carries start as fresh (unvarying)
             # zeros; skip the varying-manual-axes type check rather than
             # thread pvary through the shared DP core

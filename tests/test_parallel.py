@@ -374,6 +374,18 @@ def test_distributed_trainer_two_process_cluster():
         dt = DistributedInlTrainer(TrainerConfig(**cfg)); dt.train_from_texts(texts)
         ht = InlBpeTrainer(TrainerConfig(**cfg)); ht.train_from_texts(texts)
         assert dt.merges == ht.merges and dt.vocab == ht.vocab
+        from complexity_tokenizer_tpu.parallel.wordpiece_trainer import DistributedWordPieceTrainer
+        from complexity_tokenizer_tpu.trainers.wordpiece_trainer import WordPieceTrainer, WordPieceTrainerConfig
+        wcfg = WordPieceTrainerConfig(vocab_size=120, min_frequency=1)
+        dm = DistributedWordPieceTrainer(wcfg).train_from_texts(texts[:60])
+        hm = WordPieceTrainer(wcfg).train_from_texts(texts[:60])
+        assert dm.vocab == hm.vocab
+        from complexity_tokenizer_tpu.parallel.unigram_trainer import DistributedUnigramTrainer
+        from complexity_tokenizer_tpu.trainers.unigram_trainer import UnigramTrainer, UnigramTrainerConfig
+        ucfg = UnigramTrainerConfig(vocab_size=80)
+        du = DistributedUnigramTrainer(ucfg).train_from_texts(texts[:60])
+        hu = UnigramTrainer(ucfg).train_from_texts(texts[:60])
+        assert du.vocab == hu.vocab
         print("MULTIPROC_OK", flush=True)
         """
     ) % (str(__import__("pathlib").Path(__file__).resolve().parents[1]),)
