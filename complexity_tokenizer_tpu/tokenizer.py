@@ -626,6 +626,14 @@ class Tokenizer:
         """
         import numpy as np
 
+        from .utils.metrics import Timer
+
+        with Timer("encode_texts", count=len(texts)):
+            return self._encode_batch_ragged_impl(texts)
+
+    def _encode_batch_ragged_impl(self, texts: list[str]):
+        import numpy as np
+
         normalized = self._normalize_batch(texts)
         native = self._get_native_encoder()
         if native is not None:
@@ -782,6 +790,21 @@ class Tokenizer:
         """Zero-copy mirror of ``encode_batch_ragged``: decode rows given
         as (flat int32 ids, int64 row offsets) without building Python
         lists.  Framework-native form for round-tripping device output."""
+        from .utils.metrics import Timer
+
+        with Timer("decode_texts", count=max(len(row_offsets) - 1, 0)):
+            return self._decode_batch_ragged_impl(
+                flat_ids, row_offsets, skip_special_tokens,
+                clean_up_tokenization_spaces,
+            )
+
+    def _decode_batch_ragged_impl(
+        self,
+        flat_ids,
+        row_offsets,
+        skip_special_tokens: bool,
+        clean_up_tokenization_spaces: bool,
+    ) -> list[str]:
         nd = self._get_native_decoder()
         if nd is not None:
             texts, flagged = nd.decode_ragged(

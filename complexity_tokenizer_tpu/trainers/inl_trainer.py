@@ -287,10 +287,15 @@ class InlBpeTrainer:
         return pairs, order
 
     def _learn_merges(self, words, freqs, pair_words) -> None:
+        import time as _time
+
+        from ..utils.metrics import counters
+
         cfg = self.config
         target = cfg.vocab_size
         iteration = 0
         target_merges = max(target - len(self.vocab), 0)
+        _t_start = _time.perf_counter()
 
         def mint(pair):
             nonlocal iteration
@@ -362,6 +367,8 @@ class InlBpeTrainer:
                     mint(pair)
         if target_merges:
             print(f"\r  {iteration}/{target_merges} done", file=sys.stderr)
+        counters.add("merges", iteration)
+        counters.add_time("merges", _time.perf_counter() - _t_start)
 
     def _apply_merge(self, words, freqs, pair_words, pair, new_id):
         """Merge + incremental pair deltas (trainer.rs:519-588), touching

@@ -124,3 +124,31 @@ def test_tokenizer_from_pretrained_local_cache(tmp_path, monkeypatch):
     tok.save(repo / "tokenizer.json")
     loaded = Tokenizer.from_pretrained("me/model", local_files_only=True)
     assert loaded.vocab_size == tok.vocab_size
+
+
+def test_counters_wired_into_batch_paths():
+    """encode/decode ragged and the trainer feed the metrics registry
+    (SURVEY §5.5: bytes/s, merges/s, texts/s are the north-star metrics)."""
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+    from complexity_tokenizer_tpu.utils.metrics import counters
+
+    from helpers import trained_tokenizer
+
+    counters.reset()
+    tr = InlBpeTrainer(TrainerConfig(vocab_size=300, min_frequency=1))
+    tr.train_from_texts(["hello world", "the quick brown fox"] * 5)
+    snap = counters.snapshot()
+    assert snap.get("merges", 0) > 0
+    assert snap.get("merges_seconds", 0) > 0
+    tok = trained_tokenizer()
+    texts = ["hello world", "the fox"] * 4
+    flat, offs = tok.encode_batch_ragged(texts)
+    tok.decode_batch_ragged(flat, offs)
+    snap = counters.snapshot()
+    assert snap.get("encode_texts", 0) == len(texts)
+    assert snap.get("decode_texts", 0) == len(texts)
+    assert snap.get("encode_texts_per_s", 0) > 0
+    counters.reset()
