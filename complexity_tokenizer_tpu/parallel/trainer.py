@@ -31,7 +31,7 @@ from collections import Counter, defaultdict
 
 import numpy as np
 
-from ..trainers.inl_trainer import InlBpeTrainer, TrainerConfig
+from ..trainers.inl_trainer import REBUILD_INTERVAL, InlBpeTrainer, TrainerConfig
 from .mesh import DATA_AXIS, data_mesh
 
 __all__ = ["DistributedInlTrainer", "make_merge_step", "make_initial_hist"]
@@ -135,6 +135,21 @@ class DistributedInlTrainer(InlBpeTrainer):
 
     # override the training core; ingestion/scoring/save are inherited
     def _train_from_word_freqs(self, word_freqs: Counter) -> None:
+        self._raw_word_freqs = word_freqs
+
+        print("Step 2: Initializing vocabulary (ByteLevel alphabet)...")
+        words_list, freqs_list = self._init_vocab(word_freqs)
+        v0 = len(self.vocab)
+        print(f"  Initial vocab size: {v0}")
+        self._device_merge_loop(words_list, freqs_list, seed_hist=True)
+
+    def _resume_merge_loop(self, words, freqs, pair_words) -> None:
+        # pair_freqs comes from the checkpoint (verified by the caller);
+        # only the word tensors need re-staging on the mesh
+        print("Resuming device merge loop from checkpoint...")
+        self._device_merge_loop(words, freqs, seed_hist=False)
+
+    def _device_merge_loop(self, words_list, freqs_list, seed_hist: bool):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -143,11 +158,7 @@ class DistributedInlTrainer(InlBpeTrainer):
         cfg = self.config
         mesh = self._get_mesh()
         n_dev = mesh.devices.size
-
-        print("Step 2: Initializing vocabulary (ByteLevel alphabet)...")
-        words_list, freqs_list = self._init_vocab(word_freqs)
         v0 = len(self.vocab)
-        print(f"  Initial vocab size: {v0}")
 
         # pack words into a padded [N, W] tensor, N divisible by n_dev
         W = 1
@@ -166,23 +177,26 @@ class DistributedInlTrainer(InlBpeTrainer):
         words_dev = jax.device_put(words_np, shard)
         freqs_dev = jax.device_put(freqs_np, shard)
 
-        print("Step 3: Computing initial pair frequencies (sharded + psum)...")
-        hist_fn = make_initial_hist(v0)
+        if seed_hist:
+            print(
+                "Step 3: Computing initial pair frequencies (sharded + psum)..."
+            )
+            hist_fn = make_initial_hist(v0)
 
-        def sharded_hist(w, f):
-            return jax.lax.psum(hist_fn(w, f), DATA_AXIS)
+            def sharded_hist(w, f):
+                return jax.lax.psum(hist_fn(w, f), DATA_AXIS)
 
-        hist = shard_map(
-            sharded_hist,
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(),
-        )(words_dev, freqs_dev)
-        hist = np.asarray(hist).reshape(v0, v0)
-        ys, xs = np.nonzero(hist)
-        for a, b in zip(ys, xs):
-            self.pair_freqs[(int(a), int(b))] = int(hist[a, b])
-        print(f"  Found {len(self.pair_freqs)} unique pairs")
+            hist = shard_map(
+                sharded_hist,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(),
+            )(words_dev, freqs_dev)
+            hist = np.asarray(hist).reshape(v0, v0)
+            ys, xs = np.nonzero(hist)
+            for a, b in zip(ys, xs):
+                self.pair_freqs[(int(a), int(b))] = int(hist[a, b])
+            print(f"  Found {len(self.pair_freqs)} unique pairs")
 
         V = max(cfg.vocab_size, v0 + 1)
         step_fn = make_merge_step(V)
@@ -206,10 +220,11 @@ class DistributedInlTrainer(InlBpeTrainer):
 
         print("Step 4: Learning merges with INL dynamics (device steps)...")
         target = cfg.vocab_size
+        iteration = 0
 
         def mint(pair):
             """One device merge step; returns the touched pairs."""
-            nonlocal words_dev
+            nonlocal words_dev, iteration
             a, b = pair
             merged = self.vocab_r[a] + self.vocab_r[b]
             new_id = len(self.vocab)
@@ -229,6 +244,13 @@ class DistributedInlTrainer(InlBpeTrainer):
             v_a = self.velocity.get(a, 0.0)
             v_b = self.velocity.get(b, 0.0)
             self.velocity[new_id] = (v_a + v_b) / 2.0
+            iteration += 1
+            if (
+                cfg.checkpoint_interval
+                and cfg.checkpoint_path
+                and iteration % cfg.checkpoint_interval == 0
+            ):
+                self.save_checkpoint(cfg.checkpoint_path)
             return touched
 
         # selection mirrors the host trainer exactly (inl_trainer.py
@@ -251,7 +273,7 @@ class DistributedInlTrainer(InlBpeTrainer):
                     if f > 0:
                         heapq.heappush(heap, (-f, p))
         else:
-            rebuild_interval = 100
+            rebuild_interval = REBUILD_INTERVAL
             while len(self.vocab) < target:
                 pairs, order = self._ordered_pairs()
                 pos = 0

@@ -33,7 +33,11 @@ from dataclasses import dataclass, field
 from ..core import normalizers as N
 from ..core import pretokenizers as PT
 
-__all__ = ["TrainerConfig", "InlBpeTrainer"]
+__all__ = ["TrainerConfig", "InlBpeTrainer", "REBUILD_INTERVAL"]
+
+# INL-mode ranking rebuild cadence (trainer.rs:406-516); also the
+# granularity at which INL-mode checkpoints are exactly resumable
+REBUILD_INTERVAL = 100
 
 
 @dataclass
@@ -54,6 +58,12 @@ class TrainerConfig:
     pre_tokenizer: object | None = field(
         default_factory=lambda: PT.ByteLevel(add_prefix_space=False)
     )
+    # mid-training fault tolerance (SURVEY §5.3 — no reference
+    # counterpart): every `checkpoint_interval` merges the trainer writes
+    # its full state to `checkpoint_path`; `resume_training` continues the
+    # merge loop from it after a preemption
+    checkpoint_path: str | None = None
+    checkpoint_interval: int = 0
 
 
 class InlBpeTrainer:
@@ -72,6 +82,7 @@ class InlBpeTrainer:
         self.velocity: dict[int, float] = {}
         self.pair_freqs: dict[tuple[int, int], int] = defaultdict(int)
         self._word_freqs_accumulator: Counter = Counter()
+        self._raw_word_freqs: Counter | None = None  # corpus for resume
 
     # ------------------------------------------------------------------
     # Corpus ingestion
@@ -181,6 +192,7 @@ class InlBpeTrainer:
     # ------------------------------------------------------------------
 
     def _train_from_word_freqs(self, word_freqs: Counter) -> None:
+        self._raw_word_freqs = word_freqs
         print("Step 2: Initializing vocabulary (ByteLevel alphabet)...")
         words, freqs = self._init_vocab(word_freqs)
         print(f"  Initial vocab size: {len(self.vocab)}")
@@ -317,6 +329,17 @@ class InlBpeTrainer:
                     end="",
                     file=sys.stderr,
                 )
+            if (
+                cfg.checkpoint_interval
+                and cfg.checkpoint_path
+                and iteration % cfg.checkpoint_interval == 0
+                # INL mode: only rebuild boundaries are exactly resumable
+                # (mid-window state includes a stale score order computed
+                # from history the checkpoint does not carry); classic
+                # mode's exact heap is reconstructible anywhere
+                and (cfg.inl_gate == 0.0 or len(self.merges) % REBUILD_INTERVAL == 0)
+            ):
+                self.save_checkpoint(cfg.checkpoint_path)
             return touched
 
         if cfg.inl_gate == 0.0:
@@ -345,7 +368,7 @@ class InlBpeTrainer:
             # ranking every 100 merges exactly like trainer.rs:406-516
             # (stale entries accepted within the window when still live).
             # A sorted walk pops in the same order as the heap it replaces.
-            rebuild_interval = 100
+            rebuild_interval = REBUILD_INTERVAL
             while len(self.vocab) < target:
                 pairs, order = self._ordered_pairs()
                 if not pairs:
@@ -454,6 +477,11 @@ class InlBpeTrainer:
             "velocity": list(self.velocity.items()),
             "pair_freqs": [[a, b, f] for (a, b), f in self.pair_freqs.items()],
             "word_freqs_accumulator": list(self._word_freqs_accumulator.items()),
+            "word_freqs": (
+                list(self._raw_word_freqs.items())
+                if self._raw_word_freqs is not None
+                else None
+            ),
         }
         with open(path, "w", encoding="utf-8") as f:
             json.dump(state, f, ensure_ascii=False)
@@ -478,7 +506,95 @@ class InlBpeTrainer:
         self._word_freqs_accumulator = Counter(
             dict(state["word_freqs_accumulator"])
         )
+        if state.get("word_freqs") is not None:
+            self._raw_word_freqs = Counter(dict(state["word_freqs"]))
         return self
+
+    # ------------------------------------------------------------------
+    # Mid-training resume (SURVEY §5.3: preempted pod slices resume)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def resume_training(cls, path, config: TrainerConfig | None = None):
+        """Continue a checkpointed merge loop to ``vocab_size``.
+
+        Word state is rebuilt by greedily re-encoding every distinct word
+        with the checkpointed partial merge table — identical to the state
+        the loop had, because training applies merges in rank order (the
+        same well-formedness argument as the batch kernel).  The rebuilt
+        pair histogram is verified against the checkpointed one before
+        continuing.
+        """
+        self = cls.load_checkpoint(path, config)
+        if self._raw_word_freqs is None:
+            raise ValueError(
+                "checkpoint has no word_freqs; it predates mid-training "
+                "resume support or was saved before ingestion"
+            )
+        if len(self.vocab) >= self.config.vocab_size:
+            return self  # already done
+        words, freqs = self._rebuild_words()
+        check: dict[tuple[int, int], int] = defaultdict(int)
+        pair_words: dict[tuple[int, int], set] = defaultdict(set)
+        for wi, toks in enumerate(words):
+            f = freqs[wi]
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                check[p] += f
+                pair_words[p].add(wi)
+        saved = {k: v for k, v in self.pair_freqs.items() if v > 0}
+        rebuilt = {k: v for k, v in check.items() if v > 0}
+        if saved != rebuilt:
+            raise ValueError(
+                "rebuilt pair histogram does not match the checkpoint "
+                "(corrupt checkpoint or non-well-formed merge history)"
+            )
+        self._resume_merge_loop(words, freqs, pair_words)
+        return self
+
+    def _rebuild_words(self):
+        """Distinct words re-encoded with the current partial merge table
+        (greedy lowest-rank loop, the training-order equivalent)."""
+        ranks: dict[tuple[int, int], int] = {}
+        minted: dict[int, int] = {}
+        for r, (a, b) in enumerate(self.merges):
+            ia, ib, iab = (
+                self.vocab.get(a),
+                self.vocab.get(b),
+                self.vocab.get(a + b),
+            )
+            if ia is None or ib is None or iab is None:
+                continue
+            ranks[(ia, ib)] = r
+            minted[r] = iab
+        get = self.vocab.get
+        words: list[list[int]] = []
+        freqs: list[int] = []
+        for w, f in self._raw_word_freqs.items():
+            toks = [t for t in (get(c) for c in w) if t is not None]
+            # toks may contain minted ids for 1-char tokens only at seed
+            # stage; apply the merge loop
+            while len(toks) > 1:
+                best_i = -1
+                best_r = -1
+                for i in range(len(toks) - 1):
+                    r = ranks.get((toks[i], toks[i + 1]))
+                    if r is not None and (best_i < 0 or r < best_r):
+                        best_i = i
+                        best_r = r
+                if best_i < 0:
+                    break
+                toks[best_i] = minted[best_r]
+                del toks[best_i + 1]
+            words.append(toks)
+            freqs.append(f)
+        return words, freqs
+
+    def _resume_merge_loop(self, words, freqs, pair_words) -> None:
+        print("Resuming merge loop from checkpoint...")
+        self._learn_merges(words, freqs, pair_words)
+        print(f"  Final vocab size: {len(self.vocab)}")
+        print(f"  Total merges: {len(self.merges)}")
 
     def save(self, path) -> None:
         """tokenizer.json with ByteLevel pretok/decoder (trainer.rs:598-651)."""

@@ -152,3 +152,84 @@ def test_counters_wired_into_batch_paths():
     assert snap.get("decode_texts", 0) == len(texts)
     assert snap.get("encode_texts_per_s", 0) > 0
     counters.reset()
+
+
+def _ckpt_resume_case(trainer_cls, cfg_kwargs, tmp_path, texts, abort_at):
+    from complexity_tokenizer_tpu.trainers.inl_trainer import TrainerConfig
+
+    full = trainer_cls(TrainerConfig(**cfg_kwargs))
+    full.train_from_texts(list(texts))
+
+    ckpt = str(tmp_path / "trainer_ckpt.json")
+    # preempted run: periodic checkpoints, abort partway through
+    cfg = TrainerConfig(**cfg_kwargs, checkpoint_path=ckpt, checkpoint_interval=5)
+    pre = trainer_cls(cfg)
+
+    class _Abort(Exception):
+        pass
+
+    n_saves = {"n": 0}
+    orig_save = pre.save_checkpoint
+
+    def save_and_maybe_abort(path):
+        orig_save(path)
+        n_saves["n"] += 1
+        if n_saves["n"] == abort_at:
+            raise _Abort()
+
+    pre.save_checkpoint = save_and_maybe_abort
+    try:
+        pre.train_from_texts(list(texts))
+    except _Abort:
+        pass
+    else:
+        raise AssertionError("training finished before the simulated preemption")
+
+    resumed = trainer_cls.resume_training(ckpt)
+    assert resumed.merges == full.merges
+    assert resumed.vocab == full.vocab
+    assert resumed.token_freqs == full.token_freqs
+
+
+_SMALL = ["hello world hello", "the quick brown fox", "worldly words matter"] * 20
+
+
+def test_checkpoint_resume_host_classic(tmp_path):
+    from complexity_tokenizer_tpu.trainers.inl_trainer import InlBpeTrainer
+
+    _ckpt_resume_case(
+        InlBpeTrainer,
+        dict(vocab_size=350, min_frequency=1, inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0),
+        tmp_path,
+        _SMALL,
+        abort_at=3,
+    )
+
+
+def test_checkpoint_resume_host_inl(tmp_path):
+    """INL-mode checkpoints snap to the 100-merge rebuild boundaries (the
+    only exactly-resumable points); needs a corpus with > 100 merges."""
+    from helpers import SAMPLE_TEXT, conformance_corpus
+
+    from complexity_tokenizer_tpu.trainers.inl_trainer import InlBpeTrainer
+
+    texts = [SAMPLE_TEXT] * 3 + conformance_corpus()
+    _ckpt_resume_case(
+        InlBpeTrainer,
+        dict(vocab_size=800, min_frequency=1),
+        tmp_path,
+        texts,
+        abort_at=2,  # dies right after the merge-200 boundary checkpoint
+    )
+
+
+def test_checkpoint_resume_distributed(tmp_path):
+    from complexity_tokenizer_tpu.parallel.trainer import DistributedInlTrainer
+
+    _ckpt_resume_case(
+        DistributedInlTrainer,
+        dict(vocab_size=320, min_frequency=1, inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0),
+        tmp_path,
+        _SMALL,
+        abort_at=3,
+    )
