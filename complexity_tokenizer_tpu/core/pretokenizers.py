@@ -166,12 +166,13 @@ class ByteLevel(PreTokenizer):
     add_prefix_space: bool = False
 
     def pre_tokenize(self, text: str) -> list[str]:
-        enc = bytes_to_unicode()
+        from ..utils.bytelevel import encode_bytes
+
         if self.add_prefix_space and text and not text.startswith(" "):
             text = " " + text
         words = []
         for a, b in gpt2_split_spans(text):
-            encoded = "".join(enc[x] for x in text[a:b].encode("utf-8"))
+            encoded = encode_bytes(text[a:b].encode("utf-8"))
             if encoded:
                 words.append(encoded)
         return words

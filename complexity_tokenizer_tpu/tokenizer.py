@@ -240,6 +240,8 @@ class Tokenizer:
         self._native_decoder = None
         self._native_decoder_dirty = True
         self._added_patterns_cache = None
+        self._host_word_ids_cache = {}
+        self._token_len_cache = {}
 
     def _get_word_path(self):
         """Device word-path encoder (TPU merges distinct uncached words,
@@ -886,14 +888,33 @@ class Tokenizer:
         normalized = self.normalizer.normalize(text) if self.normalizer else text
         words_with_offsets = self._pre_tokenize_with_offsets(normalized, original)
 
+        # word -> ids and id -> (token, byte len) memos: natural text is
+        # Zipf-distributed, so the per-occurrence host merge loop and
+        # UTF-8 length computation are overwhelmingly repeats
+        wcache = getattr(self, "_host_word_ids_cache", None)
+        if wcache is None:
+            wcache = self._host_word_ids_cache = {}
+            self._token_len_cache = {}
+        tcache = self._token_len_cache
+        bpe_encode = self.bpe.encode
+        get_token = self.vocab.get_token
+
         ids, tokens, offsets, word_ids = [], [], [], []
         for word_idx, (word, word_start, word_end) in enumerate(words_with_offsets):
-            word_ids_part = self.bpe.encode(word)
+            word_ids_part = wcache.get(word)
+            if word_ids_part is None:
+                word_ids_part = wcache[word] = bpe_encode(word)
             token_char_offset = word_start
             for tid in word_ids_part:
                 ids.append(tid)
-                token_str = self.vocab.get_token(tid) or ""
-                token_byte_len = len(token_str.encode("utf-8"))
+                tl = tcache.get(tid)
+                if tl is None:
+                    token_str = get_token(tid) or ""
+                    tl = tcache[tid] = (
+                        token_str,
+                        len(token_str.encode("utf-8")),
+                    )
+                token_str, token_byte_len = tl
                 token_end = min(token_char_offset + token_byte_len, word_end)
                 offsets.append((token_char_offset, token_end))
                 token_char_offset = token_end

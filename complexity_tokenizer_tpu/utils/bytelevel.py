@@ -44,10 +44,20 @@ def byte_encoder_array() -> np.ndarray:
     return np.array([ord(enc[b]) for b in range(256)], dtype=np.int32)
 
 
-def encode_bytes(data: bytes) -> str:
-    """Map raw bytes to their byte-level alphabet string."""
+@functools.lru_cache(maxsize=None)
+def _byte_translate_table() -> dict[int, str]:
+    """str.translate table: latin-1 codepoint -> alphabet char."""
     enc = bytes_to_unicode()
-    return "".join(enc[b] for b in data)
+    return {b: enc[b] for b in range(256)}
+
+
+def encode_bytes(data: bytes) -> str:
+    """Map raw bytes to their byte-level alphabet string.
+
+    ``decode("latin-1")`` is a bijection byte -> codepoint 0..255, so one
+    C-level translate replaces the per-byte Python join.
+    """
+    return data.decode("latin-1").translate(_byte_translate_table())
 
 
 def decode_chars(s: str) -> bytes:
