@@ -31,7 +31,7 @@ from collections import Counter, defaultdict
 
 import numpy as np
 
-from ..trainers.inl_trainer import REBUILD_INTERVAL, InlBpeTrainer, TrainerConfig
+from ..trainers.inl_trainer import InlBpeTrainer, TrainerConfig
 from .mesh import DATA_AXIS, data_mesh
 
 __all__ = ["DistributedInlTrainer", "make_merge_step", "make_initial_hist"]
@@ -219,18 +219,11 @@ class DistributedInlTrainer(InlBpeTrainer):
         )
 
         print("Step 4: Learning merges with INL dynamics (device steps)...")
-        target = cfg.vocab_size
-        iteration = 0
 
-        def mint(pair):
+        def apply_merge(pair, new_id):
             """One device merge step; returns the touched pairs."""
-            nonlocal words_dev, iteration
+            nonlocal words_dev
             a, b = pair
-            merged = self.vocab_r[a] + self.vocab_r[b]
-            new_id = len(self.vocab)
-            self.vocab[merged] = new_id
-            self.vocab_r[new_id] = merged
-            self.merges.append((self.vocab_r[a], self.vocab_r[b]))
             words_dev, delta, minted = sharded_step(
                 words_dev,
                 freqs_dev,
@@ -238,67 +231,25 @@ class DistributedInlTrainer(InlBpeTrainer):
                 jnp.int32(b),
                 jnp.int32(new_id),
             )
-            touched = self._apply_delta_hist(
+            return self._apply_delta_hist(
                 np.asarray(delta), int(minted), a, b, new_id
             )
-            v_a = self.velocity.get(a, 0.0)
-            v_b = self.velocity.get(b, 0.0)
-            self.velocity[new_id] = (v_a + v_b) / 2.0
-            iteration += 1
-            if (
-                cfg.checkpoint_interval
-                and cfg.checkpoint_path
-                and iteration % cfg.checkpoint_interval == 0
-            ):
-                self.save_checkpoint(cfg.checkpoint_path)
-            return touched
 
-        # selection mirrors the host trainer exactly (inl_trainer.py
-        # _learn_merges): classic mode = exact lazy-deletion heap fed by
-        # the touched pairs of each merge; INL mode = the reference's
-        # 100-merge rebuild walk.  Both therefore produce merge tables
-        # identical to the host trainer on any mesh/host count.
-        if cfg.inl_gate == 0.0:
-            import heapq
-
-            pf = self.pair_freqs
-            heap = [(-f, p) for p, f in pf.items() if f > 0]
-            heapq.heapify(heap)
-            while len(self.vocab) < target and heap:
-                nf, pair = heapq.heappop(heap)
-                if pf.get(pair, 0) != -nf:
-                    continue  # stale
-                for p in mint(pair):
-                    f = self.pair_freqs.get(p, 0)
-                    if f > 0:
-                        heapq.heappush(heap, (-f, p))
-        else:
-            rebuild_interval = REBUILD_INTERVAL
-            while len(self.vocab) < target:
-                pairs, order = self._ordered_pairs()
-                pos = 0
-                n_ord = len(order)
-                progressed = False
-                for _ in range(rebuild_interval):
-                    if len(self.vocab) >= target:
-                        break
-                    pair = None
-                    while pos < n_ord:
-                        cand = pairs[order[pos]]
-                        pos += 1
-                        if self.pair_freqs.get(cand, 0) > 0:
-                            pair = cand
-                            break
-                    if pair is None:
-                        break
-                    mint(pair)
-                    progressed = True
-                if not progressed:
-                    break
-                if not any(v > 0 for v in self.pair_freqs.values()):
-                    break
+        # selection (classic exact heap / INL rebuild walk, progress,
+        # periodic checkpoints) is the shared _selection_loop — the
+        # reduced histogram is identical on every host, so all hosts make
+        # the same decisions with no broadcast (SURVEY §5.8).
+        self._selection_loop(apply_merge)
         print(f"  Final vocab size: {len(self.vocab)}")
         print(f"  Total merges: {len(self.merges)}")
+
+    def _is_checkpoint_writer(self) -> bool:
+        # every process runs the identical selection loop; only process 0
+        # owns the checkpoint file (all state is host-replicated, so its
+        # snapshot is complete)
+        import jax
+
+        return jax.process_index() == 0
 
     def _apply_delta_hist(self, delta: np.ndarray, minted: int, a, b, new_id):
         """Fold the psum'd delta histogram into pair_freqs; returns the

@@ -299,6 +299,17 @@ class InlBpeTrainer:
         return pairs, order
 
     def _learn_merges(self, words, freqs, pair_words) -> None:
+        def apply_merge(pair, new_id):
+            return self._apply_merge(words, freqs, pair_words, pair, new_id)
+
+        self._selection_loop(apply_merge)
+
+    def _selection_loop(self, apply_merge) -> None:
+        """The merge-selection loop shared by the host and distributed
+        trainers (classic exact heap / INL rebuild walk, progress,
+        periodic checkpoints, merges/s counters).  ``apply_merge(pair,
+        new_id)`` performs one merge on the backend's word state and
+        returns the set of pairs whose counts changed."""
         import time as _time
 
         from ..utils.metrics import counters
@@ -317,7 +328,7 @@ class InlBpeTrainer:
             self.vocab[merged] = new_id
             self.vocab_r[new_id] = merged
             self.merges.append((self.vocab_r[a], self.vocab_r[b]))
-            touched = self._apply_merge(words, freqs, pair_words, pair, new_id)
+            touched = apply_merge(pair, new_id)
             v_a = self.velocity.get(a, 0.0)
             v_b = self.velocity.get(b, 0.0)
             self.velocity[new_id] = (v_a + v_b) / 2.0
@@ -338,6 +349,7 @@ class InlBpeTrainer:
                 # from history the checkpoint does not carry); classic
                 # mode's exact heap is reconstructible anywhere
                 and (cfg.inl_gate == 0.0 or len(self.merges) % REBUILD_INTERVAL == 0)
+                and self._is_checkpoint_writer()
             ):
                 self.save_checkpoint(cfg.checkpoint_path)
             return touched
@@ -463,8 +475,35 @@ class InlBpeTrainer:
     # can resume mid-accumulation)
     # ------------------------------------------------------------------
 
+    def _is_checkpoint_writer(self) -> bool:
+        """Whether this controller writes checkpoints (single-host: yes)."""
+        return True
+
     def save_checkpoint(self, path) -> None:
-        """Persist (vocab, merges, pair histogram, velocity, accumulator)."""
+        """Persist (vocab, merges, pair histogram, velocity, accumulator).
+
+        Crash-safe: state is written to a temp file and os.replace()'d so
+        a preemption mid-write never truncates the previous checkpoint.
+        The (large, ingestion-constant) corpus word_freqs go to a sidecar
+        ``<path>.corpus`` written once per run, so periodic checkpoints
+        cost O(merge state), not O(corpus).
+        """
+        import os
+
+        path = str(path)
+        corpus_ref = None
+        if self._raw_word_freqs is not None:
+            corpus_ref = path + ".corpus"
+            if getattr(self, "_corpus_sidecar_written", None) != corpus_ref:
+                tmp = corpus_ref + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump(
+                        list(self._raw_word_freqs.items()),
+                        f,
+                        ensure_ascii=False,
+                    )
+                os.replace(tmp, corpus_ref)
+                self._corpus_sidecar_written = corpus_ref
         state = {
             "config": {
                 k: v
@@ -477,14 +516,14 @@ class InlBpeTrainer:
             "velocity": list(self.velocity.items()),
             "pair_freqs": [[a, b, f] for (a, b), f in self.pair_freqs.items()],
             "word_freqs_accumulator": list(self._word_freqs_accumulator.items()),
-            "word_freqs": (
-                list(self._raw_word_freqs.items())
-                if self._raw_word_freqs is not None
-                else None
+            "word_freqs_file": (
+                os.path.basename(corpus_ref) if corpus_ref else None
             ),
         }
-        with open(path, "w", encoding="utf-8") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(state, f, ensure_ascii=False)
+        os.replace(tmp, path)
 
     @classmethod
     def load_checkpoint(cls, path, config: TrainerConfig | None = None):
@@ -506,8 +545,18 @@ class InlBpeTrainer:
         self._word_freqs_accumulator = Counter(
             dict(state["word_freqs_accumulator"])
         )
-        if state.get("word_freqs") is not None:
+        if state.get("word_freqs") is not None:  # legacy inline form
             self._raw_word_freqs = Counter(dict(state["word_freqs"]))
+        elif state.get("word_freqs_file"):
+            import os
+
+            sidecar = os.path.join(
+                os.path.dirname(os.path.abspath(str(path))),
+                state["word_freqs_file"],
+            )
+            with open(sidecar, "r", encoding="utf-8") as f:
+                self._raw_word_freqs = Counter(dict(json.load(f)))
+            self._corpus_sidecar_written = sidecar
         return self
 
     # ------------------------------------------------------------------
