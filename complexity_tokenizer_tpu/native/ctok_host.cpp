@@ -24,6 +24,11 @@
 #define CTOK_SSE2 1
 #endif
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define CTOK_AVX512 1
+#endif
+
 namespace {
 
 struct PairKey {
@@ -470,6 +475,95 @@ inline int64_t word_end_at(const Ctx* c, const uint8_t* data, int64_t n,
     return extend_run(c, data, n, end, run_cls);
 }
 
+#ifdef CTOK_AVX512
+// ---------------------------------------------------------------------------
+// Whole-text boundary-bitmask scanner (ASCII fast path).
+//
+// The GPT-2 simplified matches over pure-ASCII text reduce to local rules
+// on per-byte classes: a word starts exactly at every class transition,
+// EXCEPT that a transition out of an *isolated* ' ' (a 1-char whitespace
+// run that is a space) is removed — the space attaches to the following
+// run (' ?\p{L}+' etc.), matching word_end_at's space-prefix branch.
+// Contractions ('s 't 'm 'd 're 've 'll) are the only non-local rule and
+// are handled at walk time when a word starts with a quote (identical
+// check to word_end_at).  Texts containing any non-ASCII byte fall back to
+// the scalar word_end_at walk, so exactness never depends on this path.
+// ---------------------------------------------------------------------------
+
+// Classify one <=64-byte block: per-byte class masks for the canonical
+// GPT-2 ASCII classes (gated by Ctx::simd_ascii).  Bytes beyond `valid`
+// read as 0 (class OTHER).  Returns the non-ASCII mask.
+inline uint64_t classify64(const uint8_t* p, uint64_t valid, uint64_t* ws,
+                           uint64_t* sp, uint64_t* b0, uint64_t* b1) {
+    __m512i v = _mm512_maskz_loadu_epi8((__mmask64)valid, p);
+    uint64_t nonascii = (uint64_t)_mm512_movepi8_mask(v);
+    __m512i lower = _mm512_or_si512(v, _mm512_set1_epi8(0x20));
+    uint64_t mL = (uint64_t)_mm512_cmple_epu8_mask(
+        _mm512_sub_epi8(lower, _mm512_set1_epi8('a')), _mm512_set1_epi8(25));
+    uint64_t mN = (uint64_t)_mm512_cmple_epu8_mask(
+        _mm512_sub_epi8(v, _mm512_set1_epi8('0')), _mm512_set1_epi8(9));
+    uint64_t mW = (uint64_t)_mm512_cmple_epu8_mask(
+                      _mm512_sub_epi8(v, _mm512_set1_epi8(9)),
+                      _mm512_set1_epi8(4)) |
+                  (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(' '));
+    mL &= ~nonascii;  // 0xC0|0x20 etc. must not alias into the ranges
+    *ws = mW & valid;
+    *sp = (uint64_t)_mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(' ')) & valid;
+    // 2-bit class code per byte: WS=01, L=10, N=11, O=00 — a transition is
+    // a change in either bit plane
+    *b0 = (mW | mN) & valid;
+    *b1 = (mL | mN) & valid;
+    return nonascii;
+}
+
+constexpr int64_t kScanStackBlocks = 40;  // texts <= 2560 B stay on-stack
+
+// Build the word-start bitmask for a pure-ASCII text.  Returns the block
+// count, or -1 if a non-ASCII byte was seen (caller uses the scalar walk).
+inline int64_t build_bounds(const uint8_t* data, int64_t n, uint64_t* bound,
+                            uint64_t* wsv, uint64_t* spv) {
+    int64_t nblk = (n + 63) >> 6;
+    uint64_t pb0 = 0, pb1 = 0;  // bit63 of the previous block's class planes
+    for (int64_t k = 0; k < nblk; ++k) {
+        int64_t off = k << 6;
+        int64_t m = n - off;
+        uint64_t valid = m >= 64 ? ~0ull : ((~0ull) >> (64 - m));
+        uint64_t ws, sp, b0, b1;
+        if (classify64(data + off, valid, &ws, &sp, &b0, &b1)) return -1;
+        bound[k] = (b0 ^ ((b0 << 1) | pb0)) | (b1 ^ ((b1 << 1) | pb1));
+        wsv[k] = ws;
+        spv[k] = sp;
+        pb0 = b0 >> 63;
+        pb1 = b1 >> 63;
+    }
+    // removal pass: drop the boundary right after an isolated space
+    uint64_t pws = 0, pisol = 0;
+    for (int64_t k = 0; k < nblk; ++k) {
+        uint64_t ws = wsv[k];
+        uint64_t ws_next = (ws >> 1) | ((k + 1 < nblk ? wsv[k + 1] : 0) << 63);
+        uint64_t isol = spv[k] & ~((ws << 1) | pws) & ~ws_next;
+        bound[k] &= ~((isol << 1) | pisol);
+        pws = ws >> 63;
+        pisol = isol >> 63;
+    }
+    bound[0] |= 1;  // a word always starts at the text head
+    return nblk;
+}
+
+// First word-start >= from, else n.
+inline int64_t next_bound(const uint64_t* bound, int64_t nblk, int64_t from,
+                          int64_t n) {
+    int64_t k = from >> 6;
+    if (k >= nblk) return n;
+    uint64_t w = bound[k] & ((~0ull) << (from & 63));
+    while (!w) {
+        if (++k >= nblk) return n;
+        w = bound[k];
+    }
+    return (k << 6) + __builtin_ctzll(w);
+}
+#endif  // CTOK_AVX512
+
 // Scan [data, data+n) emitting GPT-2 simplified matches; for each word call
 // encode_word.  Returns total ids written.
 inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
@@ -479,6 +573,44 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
     if (n <= 0) return 0;
     int64_t n_out = 0;
     int64_t i = 0;
+#ifdef CTOK_AVX512
+    if (c->simd_ascii) {
+        uint64_t stack_buf[kScanStackBlocks * 3];
+        std::vector<uint64_t> heap_buf;
+        uint64_t* buf = stack_buf;
+        int64_t nblk_cap = (n + 63) >> 6;
+        if (nblk_cap > kScanStackBlocks) {
+            heap_buf.resize((size_t)nblk_cap * 3);
+            buf = heap_buf.data();
+        }
+        uint64_t* bound = buf;
+        uint64_t* wsv = buf + nblk_cap;
+        uint64_t* spv = buf + nblk_cap * 2;
+        int64_t nblk = build_bounds(data, n, bound, wsv, spv);
+        if (nblk >= 0) {
+            while (i < n) {
+                int64_t end = -1;
+                if (data[i] == '\'' && i + 1 < n) {
+                    uint8_t n1 = data[i + 1];
+                    if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') {
+                        end = i + 2;
+                    } else if (i + 2 < n) {
+                        uint8_t n2 = data[i + 2];
+                        if ((n1 == 'r' && n2 == 'e') ||
+                            (n1 == 'v' && n2 == 'e') ||
+                            (n1 == 'l' && n2 == 'l'))
+                            end = i + 3;
+                    }
+                }
+                if (end < 0) end = next_bound(bound, nblk, i + 1, n);
+                n_out += encode_word(c, cache, sc, data, i, end, out + n_out,
+                                     scratch);
+                i = end;
+            }
+            return n_out;
+        }
+    }
+#endif
     while (i < n) {
         int64_t end = word_end_at(c, data, n, i);
         n_out += encode_word(c, cache, sc, data, i, end, out + n_out, scratch);

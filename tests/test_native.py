@@ -119,6 +119,39 @@ def test_simd_scanner_fuzz_long_runs():
         assert ne.encode(normalized.encode("utf-8")) == expected, repr(text)
 
 
+def test_ascii_boundary_scanner_fuzz():
+    """Pin the whole-text ASCII boundary-bitmask scanner (AVX-512 path in
+    encode_text): pure-ASCII texts with class transitions, isolated and
+    multi-space runs, and contractions placed across 64-byte block edges,
+    plus texts >2560 B to force the heap-buffer path.  Non-ASCII rows in
+    the same batch verify the scalar fallback interleaves cleanly."""
+    tok = trained_tokenizer()
+    ne = _native_encoder(tok)
+    rng = np.random.RandomState(23)
+    pieces = [
+        "word", "a", "B", "42", "7", "!", "!!", "...", " ", "  ", "   ",
+        "\t", "\n", "'s", "'ll", "'re", "'t", "'", "don't", "it's",
+        "x" * 63, "y" * 64, "z" * 65, " " * 63, " " * 64, "9" * 70,
+    ]
+    for trial in range(400):
+        n = rng.randint(1, 12)
+        text = "".join(pieces[rng.randint(len(pieces))] for _ in range(n))
+        if trial % 10 == 0:
+            text = text * 40  # >2560 B: heap-buffer path
+        if trial % 7 == 0:
+            text += "é"  # scalar fallback row
+        normalized = tok.normalizer.normalize(text)
+        expected = tok._encode_host(normalized, already_normalized=True)
+        assert ne.encode(normalized.encode("utf-8")) == expected, repr(text[:80])
+    # isolated space exactly at bit 63/0 of a block: the removal pass
+    # carries pisol/pws across block edges
+    for pad in (62, 63, 64, 126, 127, 128):
+        for tail in ("a b", "1 !", "' 's", "ab  cd"):
+            text = "q" * pad + " " + tail
+            expected = tok._encode_host(text, already_normalized=True)
+            assert ne.encode(text.encode("utf-8")) == expected, (pad, tail)
+
+
 def test_short_cache_collision_and_reuse():
     """Words <= 8 bytes go through the inline-key ShortCache; verify heavy
     reuse and near-identical keys (same bytes, different lengths) stay
