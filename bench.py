@@ -156,6 +156,22 @@ def main():
     best_call = _time_best(_call_fields, n=3)
     detail["call_pad_trunc_bytes_per_s"] = round(total_bytes / best_call, 1)
 
+    # same call returning stacked numpy tensors (the model-feed path: the
+    # C frame_matrix fill, no per-element PyLong materialization)
+    def _call_tensors():
+        e = tok(
+            texts,
+            padding="longest",
+            truncation=True,
+            max_length=128,
+            return_tensors="np",
+        )
+        return e.input_ids, e.attention_mask
+
+    _call_tensors()
+    best_ct = _time_best(_call_tensors, n=3)
+    detail["call_tensor_bytes_per_s"] = round(total_bytes / best_ct, 1)
+
     # decode round-trip (BASELINE config 4): ragged zero-copy decode
     flat, offs = tok.encode_batch_ragged(texts)
     tok.decode_batch_ragged(flat, offs)

@@ -191,6 +191,7 @@ class ColumnarBatchEncoding(BatchEncoding):
         self._final = np.maximum(t, pad_to) if padding is not None else t
         self._rows_cache = None
         self._mat_cache = None
+        self._list_mask_cache = None
         self._encs = None
 
     def __len__(self) -> int:
@@ -243,15 +244,20 @@ class ColumnarBatchEncoding(BatchEncoding):
             f = np.asarray(self._final, np.int64)[:, None]
             mask = pos >= f - t if self._pad_left else pos < t
             return self._maybe_tensor(mask.astype(np.int32))
-        if self._pad_left:
-            return [
-                [0] * int(f - t) + [1] * int(t)
-                for t, f in zip(self._t, self._final)
-            ]
-        return [
-            [1] * int(t) + [0] * int(f - t)
-            for t, f in zip(self._t, self._final)
-        ]
+        if self._list_mask_cache is None:
+            # .tolist() first: Python-int arithmetic in the comprehension is
+            # several times faster than numpy scalar ops per row
+            ts = np.asarray(self._t).tolist()
+            fs = np.asarray(self._final).tolist()
+            if self._pad_left:
+                self._list_mask_cache = [
+                    [0] * (f - t) + [1] * t for t, f in zip(ts, fs)
+                ]
+            else:
+                self._list_mask_cache = [
+                    [1] * t + [0] * (f - t) for t, f in zip(ts, fs)
+                ]
+        return self._list_mask_cache
 
     @property
     def token_type_ids(self):
@@ -301,12 +307,33 @@ class ColumnarBatchEncoding(BatchEncoding):
     def _ids_matrix(self):
         """(padded [B, Lmax] int32 matrix, per-row final lengths)."""
         if self._mat_cache is None:
-            rows = self._frame_rows()
             lens = self._final
             Lmax = int(lens.max(initial=0))
-            mat = np.full((len(rows), Lmax), self._pad_id, np.int32)
-            for i, r in enumerate(rows):
-                mat[i, : len(r)] = r
+            from .native import load_ext
+
+            ext = load_ext()
+            if ext is not None and hasattr(ext, "frame_matrix"):
+                # dense C fill straight from the ragged encode — never
+                # round-trips through PyLong rows
+                mat = np.empty((len(lens), Lmax), np.int32)
+                trunc = self._max_len if self._truncation else -1
+                pad_to = self._pad_to if self._padding is not None else -1
+                ext.frame_matrix(
+                    np.ascontiguousarray(self._flat, np.int32),
+                    np.ascontiguousarray(self._offs, np.int64),
+                    self._prefix,
+                    self._suffix,
+                    int(trunc),
+                    int(pad_to),
+                    int(self._pad_id),
+                    int(self._pad_left),
+                    mat,
+                )
+            else:
+                rows = self._frame_rows()
+                mat = np.full((len(lens), Lmax), self._pad_id, np.int32)
+                for i, r in enumerate(rows):
+                    mat[i, : len(r)] = r
             self._mat_cache = (mat, lens)
         return self._mat_cache
 

@@ -1843,7 +1843,97 @@ static PyObject* ctok_py_frame_rows(PyObject*, PyObject* args) {
     return rows;
 }
 
+// frame_matrix(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id,
+//              pad_left, out[B, L] int32 writable) -> None
+//
+// The dense-matrix twin of frame_rows: identical per-row semantics
+// (frame = prefix + ids + suffix, right-truncated to trunc_len, padded to
+// max(t, pad_to) on pad_left's side), but writes int32 directly into a
+// caller-allocated [B, L] buffer instead of materializing PyLong rows —
+// this is the return_tensors="np"/"jax" production path.  Positions past
+// a row's final length are filled with pad_id so ragged finals stay valid.
+static PyObject* ctok_py_frame_matrix(PyObject*, PyObject* args) {
+    PyObject *flat_obj, *offs_obj, *prefix_obj, *suffix_obj, *out_obj;
+    long long trunc_len, pad_to;
+    int pad_id, pad_left;
+    if (!PyArg_ParseTuple(args, "OOOOLLiiO", &flat_obj, &offs_obj,
+                          &prefix_obj, &suffix_obj, &trunc_len, &pad_to,
+                          &pad_id, &pad_left, &out_obj))
+        return nullptr;
+    Py_buffer flat_buf, offs_buf, out_buf;
+    if (PyObject_GetBuffer(flat_obj, &flat_buf, PyBUF_C_CONTIGUOUS) < 0)
+        return nullptr;
+    if (PyObject_GetBuffer(offs_obj, &offs_buf, PyBUF_C_CONTIGUOUS) < 0) {
+        PyBuffer_Release(&flat_buf);
+        return nullptr;
+    }
+    if (PyObject_GetBuffer(out_obj, &out_buf,
+                           PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) < 0) {
+        PyBuffer_Release(&flat_buf);
+        PyBuffer_Release(&offs_buf);
+        return nullptr;
+    }
+    const int32_t* flat = (const int32_t*)flat_buf.buf;
+    const int64_t* offs = (const int64_t*)offs_buf.buf;
+    int32_t* out = (int32_t*)out_buf.buf;
+    int64_t n = (int64_t)(offs_buf.len / (Py_ssize_t)sizeof(int64_t)) - 1;
+    int64_t out_elems = (int64_t)(out_buf.len / (Py_ssize_t)sizeof(int32_t));
+    int64_t L = n > 0 ? out_elems / n : 0;
+    std::vector<int32_t> prefix, suffix;
+    bool ok = n >= 0 && (n == 0 || out_elems == n * L) &&
+              (n == 0 || (offs[n] >= 0 &&
+                          offs[n] <= (int64_t)(flat_buf.len /
+                                               (Py_ssize_t)sizeof(int32_t))));
+    for (PyObject* seq_obj : {prefix_obj, suffix_obj}) {
+        if (!ok) break;
+        PyObject* seq = PySequence_Fast(seq_obj, "prefix/suffix");
+        if (!seq) { ok = false; break; }
+        std::vector<int32_t>& dst = seq_obj == prefix_obj ? prefix : suffix;
+        for (Py_ssize_t i = 0; i < PySequence_Fast_GET_SIZE(seq); ++i) {
+            long v = PyLong_AsLong(PySequence_Fast_GET_ITEM(seq, i));
+            if (v == -1 && PyErr_Occurred()) { ok = false; break; }
+            dst.push_back((int32_t)v);
+        }
+        Py_DECREF(seq);
+    }
+    int64_t p = (int64_t)prefix.size(), s = (int64_t)suffix.size();
+    if (ok) {
+        for (int64_t i = 0; i < n && ok; ++i) {
+            int64_t nb = offs[i + 1] - offs[i];
+            int64_t m = p + nb + s;
+            int64_t t = (trunc_len >= 0 && m > trunc_len) ? trunc_len : m;
+            int64_t final_len = (pad_to >= 0 && pad_to > t) ? pad_to : t;
+            if (nb < 0 || final_len > L) { ok = false; break; }
+            int32_t* row = out + i * L;
+            std::fill(row, row + L, (int32_t)pad_id);
+            int64_t w = pad_left ? final_len - t : 0;
+            int64_t k = 0;
+            for (; k < t && k < p; ++k) row[w++] = prefix[(size_t)k];
+            int64_t nid = std::min(t - k, nb);
+            if (nid > 0) {
+                std::memcpy(row + w, flat + offs[i] + (k - p),
+                            (size_t)nid * sizeof(int32_t));
+                w += nid;
+                k += nid;
+            }
+            for (; k < t; ++k) row[w++] = suffix[(size_t)(k - p - nb)];
+        }
+    }
+    PyBuffer_Release(&flat_buf);
+    PyBuffer_Release(&offs_buf);
+    PyBuffer_Release(&out_buf);
+    if (!ok) {
+        if (!PyErr_Occurred())
+            PyErr_SetString(PyExc_ValueError, "inconsistent frame_matrix input");
+        return nullptr;
+    }
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef CtokExtMethods[] = {
+    {"frame_matrix", ctok_py_frame_matrix, METH_VARARGS,
+     "frame_matrix(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
+     "pad_left, out) -> None (fills the [B, L] int32 buffer in place)"},
     {"frame_rows", ctok_py_frame_rows, METH_VARARGS,
      "frame_rows(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
      "pad_left) -> list[list[int]]"},

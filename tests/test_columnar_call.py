@@ -220,3 +220,40 @@ def test_return_tensors_requires_padding():
         tok(texts, return_tensors="np").input_ids
     with _pytest.raises(ValueError):
         _per_row(tok, texts, return_tensors="np").input_ids
+
+
+def test_frame_matrix_matches_frame_rows():
+    """The C frame_matrix fill (dense return_tensors path) must agree with
+    frame_rows element-for-element, including left padding, truncation
+    that cuts into the suffix frame, and ragged final lengths."""
+    import numpy as np
+
+    from complexity_tokenizer_tpu.native import load_ext
+
+    ext = load_ext()
+    if ext is None or not hasattr(ext, "frame_matrix"):
+        import pytest as _pytest
+
+        _pytest.skip("no C extension")
+    rng = np.random.RandomState(7)
+    for trial in range(60):
+        n = int(rng.randint(1, 9))
+        lens = rng.randint(0, 12, size=n)
+        offs = np.zeros(n + 1, np.int64)
+        offs[1:] = np.cumsum(lens)
+        flat = rng.randint(0, 1000, size=int(offs[-1])).astype(np.int32)
+        prefix = [int(x) for x in rng.randint(0, 50, size=rng.randint(0, 3))]
+        suffix = [int(x) for x in rng.randint(0, 50, size=rng.randint(0, 3))]
+        trunc = int(rng.choice([-1, 1, 2, 5, 9]))
+        pad_to = int(rng.choice([-1, 0, 4, 10, 16]))
+        pad_left = int(rng.randint(0, 2))
+        pad_id = 7777
+        rows = ext.frame_rows(flat, offs, prefix, suffix, trunc, pad_to,
+                              pad_id, pad_left)
+        L = max((len(r) for r in rows), default=0)
+        mat = np.empty((n, L), np.int32)
+        ext.frame_matrix(flat, offs, prefix, suffix, trunc, pad_to, pad_id,
+                         pad_left, mat)
+        for i, r in enumerate(rows):
+            assert mat[i, : len(r)].tolist() == r, (trial, i)
+            assert (mat[i, len(r):] == pad_id).all(), (trial, i)
