@@ -36,6 +36,9 @@ class BpeTrainerConfig:
     limit_alphabet: int | None = None
     continuing_subword_prefix: str | None = None
     end_of_word_suffix: str | None = None
+    # observability (SURVEY §5.1): callback(stage, done, total) — "count"
+    # once after word counting, "merge" every 500 merges and at loop exit
+    progress_callback: object | None = None
 
 
 class BpeTrainer:
@@ -59,6 +62,8 @@ class BpeTrainer:
                 word_freqs[word] += 1
         if cfg.show_progress:
             print(f"  Found {len(word_freqs)} unique words", file=sys.stderr)
+        if cfg.progress_callback is not None:
+            cfg.progress_callback("count", len(word_freqs), len(word_freqs))
 
         vocab = self._build_initial_vocab(word_freqs)
         initial_vocab_size = len(vocab)
@@ -141,13 +146,17 @@ class BpeTrainer:
                         order_counter += 1
                 word_splits[w] = new_splits
 
-            if cfg.show_progress and len(merges) % 500 == 0 and target_merges:
-                progress = len(merges) / target_merges
-                print(
-                    f"\r  {len(merges)}/{target_merges} ({progress * 100:.1f}%)",
-                    end="",
-                    file=sys.stderr,
-                )
+            if len(merges) % 500 == 0 and target_merges:
+                if cfg.show_progress:
+                    progress = len(merges) / target_merges
+                    print(
+                        f"\r  {len(merges)}/{target_merges}"
+                        f" ({progress * 100:.1f}%)",
+                        end="",
+                        file=sys.stderr,
+                    )
+                if cfg.progress_callback is not None:
+                    cfg.progress_callback("merge", len(merges), target_merges)
 
         if cfg.show_progress:
             total = time.monotonic() - start_time
@@ -156,6 +165,8 @@ class BpeTrainer:
                 f" time={total:.1f}s",
                 file=sys.stderr,
             )
+        if cfg.progress_callback is not None:
+            cfg.progress_callback("merge", len(merges), target_merges)
         return vocab, merges
 
     def train_from_iterator(self, texts):

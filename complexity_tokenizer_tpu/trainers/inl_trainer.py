@@ -64,6 +64,10 @@ class TrainerConfig:
     # merge loop from it after a preemption
     checkpoint_path: str | None = None
     checkpoint_interval: int = 0
+    # observability (SURVEY §5.1): called as callback(stage, done, total)
+    # — "count"/"pairs" once per stage, "merge" every 1000 merges and at
+    # loop exit.  Replaces scraping the reference's \r progress bars.
+    progress_callback: object | None = None
 
 
 class InlBpeTrainer:
@@ -193,6 +197,8 @@ class InlBpeTrainer:
 
     def _train_from_word_freqs(self, word_freqs: Counter) -> None:
         self._raw_word_freqs = word_freqs
+        if self.config.progress_callback is not None:
+            self.config.progress_callback("count", len(word_freqs), len(word_freqs))
         print("Step 2: Initializing vocabulary (ByteLevel alphabet)...")
         words, freqs = self._init_vocab(word_freqs)
         print(f"  Initial vocab size: {len(self.vocab)}")
@@ -206,6 +212,10 @@ class InlBpeTrainer:
                 self.pair_freqs[p] += f
                 pair_words[p].add(wi)
         print(f"  Found {len(self.pair_freqs)} unique pairs")
+        if self.config.progress_callback is not None:
+            self.config.progress_callback(
+                "pairs", len(self.pair_freqs), len(self.pair_freqs)
+            )
 
         print("Step 4: Learning merges with INL dynamics...")
         self._learn_merges(words, freqs, pair_words)
@@ -340,6 +350,8 @@ class InlBpeTrainer:
                     end="",
                     file=sys.stderr,
                 )
+                if cfg.progress_callback is not None:
+                    cfg.progress_callback("merge", iteration, target_merges)
             if (
                 cfg.checkpoint_interval
                 and cfg.checkpoint_path
@@ -402,6 +414,8 @@ class InlBpeTrainer:
                     mint(pair)
         if target_merges:
             print(f"\r  {iteration}/{target_merges} done", file=sys.stderr)
+        if cfg.progress_callback is not None:
+            cfg.progress_callback("merge", iteration, target_merges)
         counters.add("merges", iteration)
         counters.add_time("merges", _time.perf_counter() - _t_start)
 
@@ -508,7 +522,7 @@ class InlBpeTrainer:
             "config": {
                 k: v
                 for k, v in self.config.__dict__.items()
-                if k not in ("normalizer", "pre_tokenizer")
+                if k not in ("normalizer", "pre_tokenizer", "progress_callback")
             },
             "vocab": self.vocab,
             "merges": self.merges,

@@ -233,3 +233,69 @@ def test_checkpoint_resume_distributed(tmp_path):
         _SMALL,
         abort_at=3,
     )
+
+
+def test_trainer_progress_callback():
+    """SURVEY §5.1: both trainers invoke progress_callback(stage, done,
+    total) at stage boundaries and merge-loop cadence, and the callback is
+    excluded from checkpoint serialization."""
+    from complexity_tokenizer_tpu.trainers.bpe_trainer import (
+        BpeTrainer,
+        BpeTrainerConfig,
+    )
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    texts = ["hello world the quick brown fox"] * 30
+
+    events = []
+    tr = InlBpeTrainer(
+        TrainerConfig(
+            vocab_size=300,
+            special_tokens=[],
+            progress_callback=lambda s, d, t: events.append((s, d, t)),
+        )
+    )
+    tr.train_from_texts(texts)
+    stages = [s for s, _, _ in events]
+    assert "count" in stages and "pairs" in stages and "merge" in stages
+    s, d, t = events[stages.index("merge")]
+    assert d == len(tr.merges)
+
+    events2 = []
+    bt = BpeTrainer(
+        BpeTrainerConfig(
+            vocab_size=60,
+            show_progress=False,
+            progress_callback=lambda s, d, t: events2.append((s, d, t)),
+        )
+    )
+    vocab, merges = bt.train(texts)
+    assert ("merge", len(merges)) == events2[-1][:2]
+    assert events2[0][0] == "count"
+
+
+def test_trainer_progress_callback_not_checkpointed(tmp_path):
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    path = str(tmp_path / "ck.json")
+    tr = InlBpeTrainer(
+        TrainerConfig(
+            vocab_size=280,
+            special_tokens=[],
+            checkpoint_path=path,
+            checkpoint_interval=10,
+            inl_gate=0.0,
+            progress_callback=lambda s, d, t: None,
+        )
+    )
+    tr.train_from_texts(["some words repeat some words here"] * 20)
+    tr.save_checkpoint(path)
+    resumed = InlBpeTrainer.load_checkpoint(path)
+    assert resumed.config.progress_callback is None
+    assert resumed.vocab == tr.vocab
