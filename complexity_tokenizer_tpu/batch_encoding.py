@@ -191,20 +191,26 @@ class ColumnarBatchEncoding(BatchEncoding):
         self._final = np.maximum(t, pad_to) if padding is not None else t
         self._rows_cache = None
         self._mat_cache = None
-        self._list_mask_cache = None
         self._encs = None
 
     def __len__(self) -> int:
         return len(self._t)
 
     # -- columnar fields ------------------------------------------------
+    def _trunc_pad(self):
+        """(trunc_len, pad_to) as passed to the C frame entry points: -1
+        disables the respective step.  One place, so the list-mode and
+        tensor-mode paths can never drift."""
+        trunc = self._max_len if self._truncation else -1
+        pad_to = self._pad_to if self._padding is not None else -1
+        return int(trunc), int(pad_to)
+
     def _frame_rows(self):
         if self._rows_cache is None:
             from .native import load_ext
 
             ext = load_ext()
-            trunc = self._max_len if self._truncation else -1
-            pad_to = self._pad_to if self._padding is not None else -1
+            trunc, pad_to = self._trunc_pad()
             self._rows_cache = ext.frame_rows(
                 np.ascontiguousarray(self._flat, np.int32),
                 np.ascontiguousarray(self._offs, np.int64),
@@ -244,20 +250,14 @@ class ColumnarBatchEncoding(BatchEncoding):
             f = np.asarray(self._final, np.int64)[:, None]
             mask = pos >= f - t if self._pad_left else pos < t
             return self._maybe_tensor(mask.astype(np.int32))
-        if self._list_mask_cache is None:
-            # .tolist() first: Python-int arithmetic in the comprehension is
-            # several times faster than numpy scalar ops per row
-            ts = np.asarray(self._t).tolist()
-            fs = np.asarray(self._final).tolist()
-            if self._pad_left:
-                self._list_mask_cache = [
-                    [0] * (f - t) + [1] * t for t, f in zip(ts, fs)
-                ]
-            else:
-                self._list_mask_cache = [
-                    [1] * t + [0] * (f - t) for t, f in zip(ts, fs)
-                ]
-        return self._list_mask_cache
+        # .tolist() first: Python-int arithmetic in the comprehension is
+        # several times faster than numpy scalar ops per row.  Fresh lists
+        # on every access — callers may mutate the returned rows.
+        ts = np.asarray(self._t).tolist()
+        fs = np.asarray(self._final).tolist()
+        if self._pad_left:
+            return [[0] * (f - t) + [1] * t for t, f in zip(ts, fs)]
+        return [[1] * t + [0] * (f - t) for t, f in zip(ts, fs)]
 
     @property
     def token_type_ids(self):
@@ -316,8 +316,7 @@ class ColumnarBatchEncoding(BatchEncoding):
                 # dense C fill straight from the ragged encode — never
                 # round-trips through PyLong rows
                 mat = np.empty((len(lens), Lmax), np.int32)
-                trunc = self._max_len if self._truncation else -1
-                pad_to = self._pad_to if self._padding is not None else -1
+                trunc, pad_to = self._trunc_pad()
                 ext.frame_matrix(
                     np.ascontiguousarray(self._flat, np.int32),
                     np.ascontiguousarray(self._offs, np.int64),

@@ -445,22 +445,30 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
     return (int64_t)scratch.size();
 }
 
+// End of the contraction match ('s 't 'm 'd 're 've 'll) starting at i,
+// or -1 — the one rule shared verbatim by the scalar walk and the AVX-512
+// bitmask walk, so it lives in exactly one place.
+inline int64_t match_contraction(const uint8_t* data, int64_t n, int64_t i) {
+    if (data[i] != '\'' || i + 1 >= n) return -1;
+    uint8_t n1 = data[i + 1];
+    if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') return i + 2;
+    if (i + 2 < n) {
+        uint8_t n2 = data[i + 2];
+        if ((n1 == 'r' && n2 == 'e') || (n1 == 'v' && n2 == 'e') ||
+            (n1 == 'l' && n2 == 'l'))
+            return i + 3;
+    }
+    return -1;
+}
+
 // End of the GPT-2 simplified match starting at i (contraction / optional
 // space-prefix / class-run rules of pretokenizers.rs:8-15).
 inline int64_t word_end_at(const Ctx* c, const uint8_t* data, int64_t n,
                            int64_t i) {
     int clen;
     int cur_cls = cls_at(c, data, n, i, &clen);
-    if (data[i] == '\'' && i + 1 < n) {
-        uint8_t n1 = data[i + 1];
-        if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') return i + 2;
-        if (i + 2 < n) {
-            uint8_t n2 = data[i + 2];
-            if ((n1 == 'r' && n2 == 'e') || (n1 == 'v' && n2 == 'e') ||
-                (n1 == 'l' && n2 == 'l'))
-                return i + 3;
-        }
-    }
+    int64_t contr = match_contraction(data, n, i);
+    if (contr >= 0) return contr;
     int64_t j = i;
     int run_cls = cur_cls;
     if (data[i] == ' ' && i + 1 < n) {
@@ -589,19 +597,7 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
         int64_t nblk = build_bounds(data, n, bound, wsv, spv);
         if (nblk >= 0) {
             while (i < n) {
-                int64_t end = -1;
-                if (data[i] == '\'' && i + 1 < n) {
-                    uint8_t n1 = data[i + 1];
-                    if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') {
-                        end = i + 2;
-                    } else if (i + 2 < n) {
-                        uint8_t n2 = data[i + 2];
-                        if ((n1 == 'r' && n2 == 'e') ||
-                            (n1 == 'v' && n2 == 'e') ||
-                            (n1 == 'l' && n2 == 'l'))
-                            end = i + 3;
-                    }
-                }
+                int64_t end = match_contraction(data, n, i);
                 if (end < 0) end = next_bound(bound, nblk, i + 1, n);
                 n_out += encode_word(c, cache, sc, data, i, end, out + n_out,
                                      scratch);
@@ -1752,6 +1748,24 @@ static PyObject* ctok_py_decode_ragged(PyObject*, PyObject* args) {
 // __call__ fast path in one pass: row = prefix + base + suffix, cut to
 // trunc_len (-1 = no truncation), padded to pad_to (-1 = none; rows
 // already longer stay as-is, matching Encoding.pad's early return).
+// Per-row frame lengths shared by frame_rows / frame_matrix (and mirrored
+// by ColumnarBatchEncoding.__init__): nb ids framed by p prefix + s suffix
+// tokens, right-truncated to trunc_len, padded up to pad_to.
+static inline void frame_lens(int64_t nb, int64_t p, int64_t s,
+                              int64_t trunc_len, int64_t pad_to, int64_t* t,
+                              int64_t* final_len) {
+    int64_t m = p + nb + s;
+    *t = (trunc_len >= 0 && m > trunc_len) ? trunc_len : m;
+    *final_len = (pad_to >= 0 && pad_to > *t) ? pad_to : *t;
+}
+
+// Row offsets must be non-negative, monotonic, and within flat —
+// checked per row so a bad interior offset can never index out of bounds.
+static inline bool frame_row_ok(const int64_t* offs, int64_t i,
+                                int64_t flat_len) {
+    return offs[i] >= 0 && offs[i + 1] >= offs[i] && offs[i + 1] <= flat_len;
+}
+
 static PyObject* ctok_py_frame_rows(PyObject*, PyObject* args) {
     PyObject *flat_obj, *offs_obj, *prefix_obj, *suffix_obj;
     long long trunc_len, pad_to;
@@ -1801,11 +1815,18 @@ static PyObject* ctok_py_frame_rows(PyObject*, PyObject* args) {
         PyBuffer_Release(&offs_buf);
         return nullptr;
     }
+    int64_t flat_len = (int64_t)(flat_buf.len / (Py_ssize_t)sizeof(int32_t));
     for (int64_t i = 0; i < n; ++i) {
+        if (!frame_row_ok(offs, i, flat_len)) {
+            Py_DECREF(rows);
+            PyBuffer_Release(&flat_buf);
+            PyBuffer_Release(&offs_buf);
+            PyErr_SetString(PyExc_ValueError, "inconsistent frame_rows input");
+            return nullptr;
+        }
         int64_t nb = offs[i + 1] - offs[i];
-        int64_t m = p + nb + s;
-        int64_t t = (trunc_len >= 0 && m > trunc_len) ? trunc_len : m;
-        int64_t final_len = (pad_to >= 0 && pad_to > t) ? pad_to : t;
+        int64_t t, final_len;
+        frame_lens(nb, p, s, trunc_len, pad_to, &t, &final_len);
         PyObject* row = PyList_New((Py_ssize_t)final_len);
         if (!row) {
             Py_DECREF(rows);
@@ -1898,12 +1919,14 @@ static PyObject* ctok_py_frame_matrix(PyObject*, PyObject* args) {
     }
     int64_t p = (int64_t)prefix.size(), s = (int64_t)suffix.size();
     if (ok) {
+        int64_t flat_len =
+            (int64_t)(flat_buf.len / (Py_ssize_t)sizeof(int32_t));
         for (int64_t i = 0; i < n && ok; ++i) {
+            if (!frame_row_ok(offs, i, flat_len)) { ok = false; break; }
             int64_t nb = offs[i + 1] - offs[i];
-            int64_t m = p + nb + s;
-            int64_t t = (trunc_len >= 0 && m > trunc_len) ? trunc_len : m;
-            int64_t final_len = (pad_to >= 0 && pad_to > t) ? pad_to : t;
-            if (nb < 0 || final_len > L) { ok = false; break; }
+            int64_t t, final_len;
+            frame_lens(nb, p, s, trunc_len, pad_to, &t, &final_len);
+            if (final_len > L) { ok = false; break; }
             int32_t* row = out + i * L;
             std::fill(row, row + L, (int32_t)pad_id);
             int64_t w = pad_left ? final_len - t : 0;

@@ -165,7 +165,7 @@ class BpeTrainer:
                 f" time={total:.1f}s",
                 file=sys.stderr,
             )
-        if cfg.progress_callback is not None:
+        if cfg.progress_callback is not None and target_merges:
             cfg.progress_callback("merge", len(merges), target_merges)
         return vocab, merges
 

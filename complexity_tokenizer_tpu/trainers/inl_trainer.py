@@ -414,8 +414,8 @@ class InlBpeTrainer:
                     mint(pair)
         if target_merges:
             print(f"\r  {iteration}/{target_merges} done", file=sys.stderr)
-        if cfg.progress_callback is not None:
-            cfg.progress_callback("merge", iteration, target_merges)
+            if cfg.progress_callback is not None:
+                cfg.progress_callback("merge", iteration, target_merges)
         counters.add("merges", iteration)
         counters.add_time("merges", _time.perf_counter() - _t_start)
 

@@ -257,3 +257,29 @@ def test_frame_matrix_matches_frame_rows():
         for i, r in enumerate(rows):
             assert mat[i, : len(r)].tolist() == r, (trial, i)
             assert (mat[i, len(r):] == pad_id).all(), (trial, i)
+
+
+def test_frame_entry_points_reject_bad_offsets():
+    """Negative, non-monotonic, or out-of-range row offsets must raise,
+    never read out of bounds (both frame_rows and frame_matrix)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from complexity_tokenizer_tpu.native import load_ext
+
+    ext = load_ext()
+    if ext is None or not hasattr(ext, "frame_matrix"):
+        _pytest.skip("no C extension")
+    flat = np.arange(6, dtype=np.int32)
+    bad_offsets = [
+        np.array([-100, 0], np.int64),       # negative start
+        np.array([0, 4, 2, 6], np.int64),    # non-monotonic
+        np.array([0, 99], np.int64),         # past the end of flat
+        np.array([2, 1], np.int64),          # end < start
+    ]
+    for offs in bad_offsets:
+        with _pytest.raises(ValueError):
+            ext.frame_rows(flat, offs, [], [], -1, -1, 0, 0)
+        out = np.empty((len(offs) - 1, 8), np.int32)
+        with _pytest.raises(ValueError):
+            ext.frame_matrix(flat, offs, [], [], -1, -1, 0, 0, out)
