@@ -132,7 +132,9 @@ def main():
     # word caches warm after the warmup passes — steady-state serving)
     tok.encode_batch_ragged(texts)
     tok.encode_batch_ragged(texts)
-    best = _time_best(lambda: tok.encode_batch_ragged(texts), n=5)
+    # best-of-15: the measurement host is a shared 2-core VM with heavy
+    # run-to-run noise; one pass is ~8 ms so the extra reps are free
+    best = _time_best(lambda: tok.encode_batch_ragged(texts), n=15)
     bytes_per_s = total_bytes / best
     detail["ragged_best_s"] = round(best, 4)
 
