@@ -80,11 +80,12 @@ class DeviceWordEncoder:
                 # fused VMEM seed kernel (gather + mask + tombstone fill)
                 tokens = pallas_seed_tokens(arr, lens, byte_token_table)
             else:
-                tokens = byte_token_table[arr.astype(jnp.int32)]
+                from .merge import seed_tokens
+
                 W = arr.shape[1]
                 pos = jnp.arange(W, dtype=jnp.int32)[None, :]
                 valid = pos < lens[:, None]
-                tokens = jnp.where(valid, tokens, -1)
+                tokens, _ = seed_tokens(arr, lens, valid, byte_token_table)
             return merge_word_rows(
                 tokens, p.disp, p.rows, p.table_size, p.n_buckets
             )
@@ -109,10 +110,17 @@ class DeviceWordEncoder:
                 arr = jax.device_put(arr, self.sharding)
                 ls = jax.device_put(ls, self.sharding)
             tokens, counts = self._fn(arr, ls)
-            tokens = np.asarray(tokens)
-            counts = np.asarray(counts)
-            for r in range(m):
-                rows_out.append(tokens[r, tokens[r] >= 0].tolist())
+            tokens = np.asarray(tokens)[:m]
+            counts = np.asarray(counts)[:m]
+            # one vectorized extraction: live ids in row order, split at
+            # the per-row counts (a per-row mask+tolist loop is pure
+            # Python overhead at 64K-row chunks)
+            flat = tokens[tokens >= 0].tolist()
+            bounds = np.zeros(m + 1, np.int64)
+            np.cumsum(counts, out=bounds[1:])
+            rows_out.extend(
+                flat[bounds[r] : bounds[r + 1]] for r in range(m)
+            )
         return rows_out
 
     def _pack(self, words_buf, offs, start: int, m: int, B: int):
@@ -126,8 +134,8 @@ class DeviceWordEncoder:
             chunk_offs = np.ascontiguousarray(offs[start : start + m + 1], np.int64)
             lib.ctok_pack(_ptr(wb if wb.size else np.zeros(1, np.uint8)),
                           _ptr(chunk_offs), m, _WORD_W, _ptr(arr), _ptr(ls))
-            arr[m:] = 0
-            ls[m:] = 0
+            # rows >= m stay zero from the np.zeros allocation — ctok_pack
+            # only writes rows < m
             return arr, ls
         for r in range(m):
             a = offs[start + r]
