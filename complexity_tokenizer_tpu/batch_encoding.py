@@ -15,8 +15,13 @@ __all__ = ["BatchEncoding", "ColumnarBatchEncoding"]
 
 def _to_tensor(rows, kind: str):
     """Stack equal-length rows into one array ("np" or "jax")."""
-    arr = np.asarray(rows, dtype=np.int32)
-    if arr.dtype == object:  # ragged
+    try:
+        arr = np.asarray(rows, dtype=np.int32)
+    except ValueError as e:  # numpy's "inhomogeneous shape" for ragged rows
+        raise ValueError(
+            "return_tensors requires padding (rows have unequal lengths)"
+        ) from e
+    if arr.dtype == object:  # ragged (older numpy)
         raise ValueError(
             "return_tensors requires padding (rows have unequal lengths)"
         )
@@ -25,6 +30,15 @@ def _to_tensor(rows, kind: str):
 
         return jnp.asarray(arr)
     return arr
+
+
+_FIELD_KEYS = {
+    "input_ids",
+    "attention_mask",
+    "token_type_ids",
+    "special_tokens_mask",
+    "offset_mapping",
+}
 
 
 class BatchEncoding:
@@ -90,8 +104,9 @@ class BatchEncoding:
 
     def __getitem__(self, key):
         if isinstance(key, str):
-            d = self.to_dict()
-            return d[key]
+            if key not in _FIELD_KEYS or key not in self.keys():
+                raise KeyError(key)
+            return getattr(self, key)
         if not 0 <= key < len(self._encodings):
             raise IndexError("Index out of range")
         return self._encodings[key]
@@ -374,7 +389,9 @@ class ColumnarBatchEncoding(BatchEncoding):
 
     def __getitem__(self, key):
         if isinstance(key, str):
-            return self.to_dict()[key]
+            if key not in _FIELD_KEYS or key not in self.keys():
+                raise KeyError(key)
+            return getattr(self, key)
         if not 0 <= key < len(self._t):
             raise IndexError("Index out of range")
         return self._materialize()[key]

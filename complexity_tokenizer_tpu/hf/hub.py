@@ -58,28 +58,43 @@ def _http_get(url: str, config: HubConfig) -> bytes:
         raise IOError(str(e)) from e
 
 
-def download_file(repo_id: str, filename: str, config: HubConfig | None = None) -> Path:
+def download_file(
+    repo_id: str,
+    filename: str,
+    config: HubConfig | None = None,
+    revision: str | None = None,
+) -> Path:
+    """Fetch one file into the cache.  Non-default revisions are cached
+    under ``<file>@<revision>`` so a pinned fetch can never alias the
+    default-branch copy (mod.rs:193-211 builds the URL with the revision).
+    """
     config = config or HubConfig()
+    rev = revision or "main"
     repo_cache = Path(config.cache_dir) / repo_id.replace("/", "--")
     repo_cache.mkdir(parents=True, exist_ok=True)
-    file_path = repo_cache / filename
+    cache_name = filename if rev == "main" else f"{filename}@{rev.replace('/', '--')}"
+    file_path = repo_cache / cache_name
     if file_path.exists():
         return file_path
-    url = f"{config.endpoint}/{repo_id}/resolve/main/{filename}"
+    url = f"{config.endpoint}/{repo_id}/resolve/{rev}/{filename}"
     data = _http_get(url, config)
     file_path.write_bytes(data)
     return file_path
 
 
-def download_tokenizer(repo_id: str, config: HubConfig | None = None) -> Path:
+def download_tokenizer(
+    repo_id: str,
+    config: HubConfig | None = None,
+    revision: str | None = None,
+) -> Path:
     config = config or HubConfig()
     try:
-        return download_file(repo_id, "tokenizer.json", config)
+        return download_file(repo_id, "tokenizer.json", config, revision)
     except IOError:
         pass
-    vocab_path = download_file(repo_id, "vocab.json", config)
+    vocab_path = download_file(repo_id, "vocab.json", config, revision)
     try:
-        download_file(repo_id, "merges.txt", config)
+        download_file(repo_id, "merges.txt", config, revision)
     except IOError:
         pass
     return vocab_path
@@ -119,10 +134,15 @@ def resolve_model_path(model_id: str, config: HubConfig | None = None) -> Path:
     return download_tokenizer(model_id, config)
 
 
-def fetch_json(repo_id: str, filename: str, config: HubConfig | None = None):
+def fetch_json(
+    repo_id: str,
+    filename: str,
+    config: HubConfig | None = None,
+    revision: str | None = None,
+):
     """Fetch + parse a JSON file from the Hub; None on failure."""
     try:
-        path = download_file(repo_id, filename, config)
+        path = download_file(repo_id, filename, config, revision)
         return json.loads(path.read_text())
     except (IOError, json.JSONDecodeError):
         return None

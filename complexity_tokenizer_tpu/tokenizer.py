@@ -139,10 +139,12 @@ class Tokenizer:
             raise IOError(
                 f"Model '{repo_id}' not found in cache and local_files_only=true"
             )
-        path = hub_mod.download_file(repo_id, "tokenizer.json")
+        path = hub_mod.download_file(repo_id, "tokenizer.json", revision=revision)
         model_max_length = 512
         chat_template = None
-        cfg_json = hub_mod.fetch_json(repo_id, "tokenizer_config.json")
+        cfg_json = hub_mod.fetch_json(
+            repo_id, "tokenizer_config.json", revision=revision
+        )
         if isinstance(cfg_json, dict):
             mml = cfg_json.get("model_max_length")
             if isinstance(mml, int):
@@ -409,7 +411,13 @@ class Tokenizer:
             text if norm is None or (self._norm_ascii_ok and text.isascii())
             else norm.normalize(text)
         )
-        native = self._get_native_encoder()
+        # backend="host" (CTOK_ENCODE_BACKEND=host) forces the pure-Python
+        # oracle on every entry point, not just encode_batch
+        native = (
+            self._get_native_encoder()
+            if self.encode_backend != "host"
+            else None
+        )
         if native is not None:
             pats = self._added_byte_patterns() if self.added_tokens else None
             try:
@@ -626,19 +634,33 @@ class Tokenizer:
         numpy export surface (bindings/encoding.rs:144-158, 265-275) but
         without per-id Python object creation.
         """
-        import numpy as np
-
         from .utils.metrics import Timer
 
         with Timer("encode_texts", count=len(texts)):
             return self._encode_batch_ragged_impl(texts)
 
+    @staticmethod
+    def _ragged_from_parts(parts):
+        """(flat int32, offsets int64) from per-row id arrays."""
+        import numpy as np
+
+        offsets = np.zeros(len(parts) + 1, np.int64)
+        np.cumsum([len(p) for p in parts], out=offsets[1:])
+        flat = (
+            np.concatenate(parts) if offsets[-1] else np.zeros(0, np.int32)
+        )
+        return flat, offsets
+
     def _encode_batch_ragged_impl(self, texts: list[str]):
         import numpy as np
 
-        normalized = self._normalize_batch(texts)
-        native = self._get_native_encoder()
+        native = (
+            self._get_native_encoder()
+            if self.encode_backend != "host"
+            else None
+        )
         if native is not None:
+            normalized = self._normalize_batch(texts)
             n = len(normalized)
             pats = self._added_byte_patterns() if self.added_tokens else None
             aps = self._byte_level_prefix_space()
@@ -661,14 +683,7 @@ class Tokenizer:
                     )
                     for i in range(n)
                 ]
-                out_offsets = np.zeros(n + 1, np.int64)
-                np.cumsum([len(p) for p in parts], out=out_offsets[1:])
-                out_flat = (
-                    np.concatenate(parts)
-                    if out_offsets[-1]
-                    else np.zeros(0, np.int32)
-                )
-                return out_flat, out_offsets
+                return self._ragged_from_parts(parts)
             data = self._prepare_bytes(normalized)
             raw, offsets, counts = native._encode_batch_raw(data, None, pats)
             if n == 0 or counts.min() >= 0:
@@ -689,14 +704,7 @@ class Tokenizer:
                             np.int32,
                         )
                     )
-            row_offsets = np.zeros(n + 1, np.int64)
-            np.cumsum([len(p) for p in parts], out=row_offsets[1:])
-            flat = (
-                np.concatenate(parts)
-                if row_offsets[-1]
-                else np.zeros(0, np.int32)
-            )
-            return flat, row_offsets
+            return self._ragged_from_parts(parts)
         rows = self.encode_batch(texts)
         offsets = np.zeros(len(rows) + 1, np.int64)
         np.cumsum([len(r) for r in rows], out=offsets[1:])
@@ -1030,7 +1038,18 @@ class Tokenizer:
             raise ValueError("return_tensors must be None, 'np' or 'jax'")
         if isinstance(text, (list, tuple)):
             texts = list(text)
-            pairs = list(text_pair) if text_pair is not None else None
+            pairs = None
+            if text_pair is not None:
+                if not isinstance(text_pair, (list, tuple)):
+                    raise TypeError(
+                        "text_pair must be a list when text is a list"
+                    )
+                pairs = list(text_pair)
+                if len(pairs) != len(texts):
+                    raise ValueError(
+                        f"text and text_pair lengths differ "
+                        f"({len(texts)} vs {len(pairs)})"
+                    )
             if pairs is not None:
                 encs = [
                     self._call_one(a, b, add_special_tokens)

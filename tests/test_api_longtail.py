@@ -3,6 +3,7 @@
 batch pairs, from_buffer, batch_encode_plus, BPE-dropout determinism).
 Semantics pinned against the reference (file:line cites inline)."""
 
+import pytest
 from helpers import conformance_corpus, trained_tokenizer, trained_tokenizer_json
 
 from complexity_tokenizer_tpu.core.postprocessors import (
@@ -114,3 +115,44 @@ def test_bpe_dropout_deterministic_and_coarser():
     # dropout=1.0 blocks every merge -> pure char seeds
     all_drop = bpe.encode_with_dropout("hello", 1.0)
     assert len(all_drop) >= len(base)
+
+
+def test_call_pair_validation():
+    tok = trained_tokenizer()
+    with pytest.raises(ValueError):
+        tok(["a", "b", "c"], text_pair=["x"])
+    with pytest.raises(TypeError):
+        tok(["a", "b"], text_pair="cd")
+
+
+def test_backend_host_honored_everywhere():
+    """backend='host' (CTOK_ENCODE_BACKEND=host) must force the oracle on
+    encode() and encode_batch_ragged(), not just encode_batch()."""
+    import numpy as np
+
+    tok = trained_tokenizer()
+    texts = ["hello world", "it's 42!"]
+    expected = [tok._encode_host(t) for t in texts]
+    tok.encode_backend = "host"
+    try:
+        assert tok.encode(texts[0]) == expected[0]
+        flat, offs = tok.encode_batch_ragged(texts)
+        got = [list(flat[offs[i] : offs[i + 1]]) for i in range(len(texts))]
+        assert got == expected
+    finally:
+        tok.encode_backend = "auto"
+
+
+def test_return_tensors_unpadded_error_message():
+    tok = trained_tokenizer()
+    with pytest.raises(ValueError, match="requires padding"):
+        tok(["hi", "a much longer sentence"], return_tensors="np").input_ids
+
+
+def test_getitem_unknown_key_raises():
+    tok = trained_tokenizer()
+    enc = tok(["hello world"])
+    with pytest.raises(KeyError):
+        enc["nonsense"]
+    assert enc["input_ids"] == enc.input_ids
+    assert enc["attention_mask"] == enc.attention_mask
