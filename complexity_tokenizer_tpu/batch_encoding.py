@@ -344,7 +344,20 @@ class ColumnarBatchEncoding(BatchEncoding):
                     mat,
                 )
             else:
-                rows = self._frame_rows()
+                # fresh rows, not self._rows_cache: input_ids hands the
+                # cached rows to callers (HF-style aliasing), so a caller
+                # mutation must not leak into the matrix-backed fields
+                trunc, pad_to = self._trunc_pad()
+                rows = ext.frame_rows(
+                    np.ascontiguousarray(self._flat, np.int32),
+                    np.ascontiguousarray(self._offs, np.int64),
+                    self._prefix,
+                    self._suffix,
+                    trunc,
+                    pad_to,
+                    int(self._pad_id),
+                    int(self._pad_left),
+                )
                 mat = np.full((len(lens), Lmax), self._pad_id, np.int32)
                 for i, r in enumerate(rows):
                     mat[i, : len(r)] = r
