@@ -426,26 +426,30 @@ class NativeEncoder:
         add_prefix_space: bool,
         patterns: list[bytes] | None,
         n_threads: int | None = None,
+        ascii_norm: bool = False,
     ):
         """Fully-fused batch encode from Python strings: UTF-8 access via
-        the unicode objects' cached buffers, prefix space, corpus join,
-        added-token gate, encode and ragged compaction all in one native
-        call.  Returns (flat int32, row_offsets int64, flagged_indices or
-        None) — flagged rows are empty in the output and must be
-        host-encoded and spliced by the caller.  None when the extension
+        the unicode objects' cached in-place buffers (zero-copy spans, no
+        corpus join), prefix space, added-token gate, encode and ragged
+        compaction all in one native call.  Returns (flat int32,
+        row_offsets int64, flagged_indices or None, nonascii_indices or
+        None) — flagged/nonascii rows are empty in the output and must be
+        re-encoded and spliced by the caller (``ascii_norm=True`` marks
+        non-ASCII rows instead of encoding them, for callers whose
+        normalizer is the identity on ASCII).  None when the extension
         surface is unavailable."""
         ext = load_ext()
         if ext is None:
             return None
         if n_threads is None:
             n_threads = os.cpu_count() or 1
-        flat_b, off_b, flagged = ext.encode_ragged(
+        flat_b, off_b, flagged, nonascii = ext.encode_ragged(
             self._ctx, texts, int(bool(add_prefix_space)), patterns or [],
-            int(n_threads),
+            int(n_threads), int(bool(ascii_norm)),
         )
         flat = np.frombuffer(flat_b, np.int32)
         offs = np.frombuffer(off_b, np.int64)
-        return flat, offs, flagged
+        return flat, offs, flagged, nonascii
 
     def encode_rows_fused(
         self,
@@ -453,10 +457,12 @@ class NativeEncoder:
         add_prefix_space: bool,
         patterns: list[bytes] | None,
         n_threads: int | None = None,
+        ascii_norm: bool = False,
     ):
         """list[list[int]] built in C (None rows = added-token candidates
-        for the caller's host matcher).  None when the extension surface
-        is unavailable."""
+        and, under ``ascii_norm``, non-ASCII rows — both for the caller's
+        exact single-text path).  None when the extension surface is
+        unavailable."""
         ext = load_ext()
         if ext is None or not hasattr(ext, "encode_rows"):
             return None
@@ -464,7 +470,7 @@ class NativeEncoder:
             n_threads = os.cpu_count() or 1
         return ext.encode_rows(
             self._ctx, texts, int(bool(add_prefix_space)), patterns or [],
-            int(n_threads),
+            int(n_threads), int(bool(ascii_norm)),
         )
 
     def encode_batch_ragged(self, data: list[bytes], n_threads: int | None = None):

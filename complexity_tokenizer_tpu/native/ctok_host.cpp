@@ -11,8 +11,11 @@
 // Exposed via a C ABI for ctypes; semantics are diff-tested against the
 // Python oracle in tests/test_native.py.
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <memory>
 #include <string>
@@ -30,6 +33,108 @@
 #endif
 
 namespace {
+
+// Persistent worker pool: every batch entry point fans out through this
+// instead of spawning std::threads per call (thread creation costs more
+// than an entire warm 10K-text encode pass).  The calling thread runs
+// shard 0 itself, so run(n) keeps exactly n runnable threads — no
+// oversubscription on small hosts.  run() is serialized internally, so
+// concurrent callers queue rather than interleave shards.
+class ThreadPool {
+  public:
+    void run(int n, const std::function<void(int)>& fn) {
+        if (n <= 1) {
+            fn(0);
+            return;
+        }
+        std::lock_guard<std::mutex> outer(run_mu_);
+        ensure(n - 1);
+        {
+            std::lock_guard<std::mutex> lk(mu_);
+            job_ = &fn;
+            n_active_ = n - 1;
+            n_done_ = 0;
+            ++epoch_;
+        }
+        cv_.notify_all();
+        fn(0);
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_done_.wait(lk, [&] { return n_done_ == n_active_; });
+        job_ = nullptr;
+    }
+
+    ~ThreadPool() {
+        {
+            std::lock_guard<std::mutex> lk(mu_);
+            stop_ = true;
+        }
+        cv_.notify_all();
+        for (auto& t : workers_) t.join();
+    }
+
+  private:
+    void ensure(int n_workers) {
+        while ((int)workers_.size() < n_workers) {
+            int idx = (int)workers_.size();
+            workers_.emplace_back([this, idx] { loop(idx); });
+        }
+    }
+
+    void loop(int idx) {
+        uint64_t seen = 0;
+        for (;;) {
+            const std::function<void(int)>* job;
+            {
+                std::unique_lock<std::mutex> lk(mu_);
+                cv_.wait(lk, [&] {
+                    return stop_ || (epoch_ != seen && idx < n_active_);
+                });
+                if (stop_) return;
+                seen = epoch_;
+                job = job_;
+            }
+            (*job)(idx + 1);
+            {
+                std::lock_guard<std::mutex> lk(mu_);
+                ++n_done_;
+            }
+            cv_done_.notify_one();
+        }
+    }
+
+    std::mutex run_mu_;  // serializes whole run() invocations
+    std::mutex mu_;
+    std::condition_variable cv_, cv_done_;
+    std::vector<std::thread> workers_;
+    const std::function<void(int)>* job_ = nullptr;
+    uint64_t epoch_ = 0;
+    int n_active_ = 0;
+    int n_done_ = 0;
+    bool stop_ = false;
+};
+
+ThreadPool& pool() {
+    static ThreadPool p;
+    return p;
+}
+
+// Reusable uninitialized POD buffer: new[] without value-init, grown
+// geometrically and kept across calls — per-call fresh mallocs of
+// multi-MB scratch cost more in page faults than the encode itself.
+template <typename T>
+struct Arena {
+    std::unique_ptr<T[]> data;
+    size_t cap = 0;
+    T* ensure(size_t n) {
+        if (n > cap) {
+            size_t want = cap ? cap : 4096;
+            while (want < n) want *= 2;
+            data.reset(new T[want]);
+            cap = want;
+        }
+        return data.get();
+    }
+};
 
 struct PairKey {
     uint64_t v;
@@ -261,6 +366,14 @@ struct Ctx {
     // collected miss words).
     WordCache shared_long;
     ShortCache shared_short;
+    // Scratch reused by the Python-extension batch entry points (ids at
+    // byte offsets, per-text counts/offsets).  call_mu serializes those
+    // calls; it is only ever locked with the GIL released, so lock order
+    // (call_mu then GIL) can never deadlock against a GIL holder.
+    std::mutex call_mu;
+    Arena<int32_t> out_arena;
+    Arena<int32_t> counts_arena;
+    Arena<int64_t> offsets_arena;
 };
 
 inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
@@ -705,6 +818,45 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
     return n_out;
 }
 
+// Encode one text read in place from the caller's buffer (no corpus join),
+// virtually prefixed with a space when ``pre`` — the ByteLevel
+// add_prefix_space semantics.  Only the first match can straddle the
+// virtual boundary, so it is staged into a small stack buffer (most first
+// words fit the 24-byte stage; a second stage covers up to 271 bytes; a
+// first word longer than that falls back to a full prefixed copy in
+// ``tmp``).  Everything after the first match is encoded directly from
+// ``p``.
+inline int64_t encode_text_span(const Ctx* c, WordCache* cache,
+                                ShortCache* sc, const uint8_t* p, int64_t n,
+                                bool pre, int32_t* out,
+                                std::vector<int32_t>& scratch,
+                                std::vector<uint8_t>& tmp) {
+    if (!pre || n <= 0) return encode_text(c, cache, sc, p, n, out, scratch);
+    uint8_t buf[272];
+    buf[0] = ' ';
+    int64_t st = n < 23 ? n : 23;
+    std::memcpy(buf + 1, p, (size_t)st);
+    int64_t end = word_end_at(c, buf, st + 1, 0);
+    if (end == st + 1 && st < n) {
+        int64_t stage = n < 271 ? n : 271;
+        std::memcpy(buf + 1 + st, p + st, (size_t)(stage - st));
+        end = word_end_at(c, buf, stage + 1, 0);
+        if (end == stage + 1 && stage < n) {
+            // first word longer than the stage: full prefixed copy (rare)
+            tmp.resize((size_t)n + 1);
+            tmp[0] = ' ';
+            std::memcpy(tmp.data() + 1, p, (size_t)n);
+            return encode_text(c, cache, sc, tmp.data(), n + 1, out, scratch);
+        }
+        st = stage;
+    }
+    int64_t k =
+        encode_word(c, cache, sc, buf, 0, end, st + 1, out, n + 1, scratch);
+    int64_t done = end - 1;  // consumed bytes of the real text
+    return k + encode_text(c, cache, sc, p + done, n - done, out + k,
+                           scratch);
+}
+
 
 // ---------------------------------------------------------------------------
 // Native ByteLevel decoder (decoders.rs:94-119 + the cleanup table of
@@ -985,13 +1137,7 @@ inline int decode_shards(const DecCtx* d, const int32_t* ids_flat,
                           cleanup, bufs[(size_t)tid], sizes[(size_t)tid],
                           out_flags);
     };
-    if (n_threads == 1) {
-        worker(0);
-    } else {
-        std::vector<std::thread> threads;
-        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
-        for (auto& th : threads) th.join();
-    }
+    pool().run(n_threads, worker);
     return n_threads;
 }
 
@@ -1063,13 +1209,7 @@ void ctok_encode_batch(void* p, const uint8_t* joined, const int64_t* offsets,
                 c, cache, sc, joined + a, b - a, out + a, scratch);
         }
     };
-    if (n_threads == 1) {
-        worker(0);
-    } else {
-        std::vector<std::thread> threads;
-        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
-        for (auto& th : threads) th.join();
-    }
+    pool().run(n_threads, worker);
 }
 
 // Compact per-text id regions (written at byte offsets by
@@ -1267,7 +1407,64 @@ struct PatternSet {
         }
         return false;
     }
+
+    // matches() over the *virtually prefixed* text ' '+text: the only
+    // occurrence the plain scan can miss is a space-leading pattern
+    // anchored at the virtual head.
+    bool matches_pre(const uint8_t* text, int64_t len, bool pre) const {
+        if (matches(text, len)) return true;
+        if (!pre) return false;
+        for (int32_t pi : by_first[(int)' ']) {
+            int64_t pl = offs[pi + 1] - offs[pi];
+            if (pl - 1 <= len &&
+                memcmp(text, buf + offs[pi] + 1, (size_t)(pl - 1)) == 0)
+                return true;
+        }
+        return false;
+    }
 };
+
+// Batch encode over in-place text spans (no corpus join): ids for text i
+// are written at out + offsets[i], where offsets are the *virtual*
+// prefixed byte offsets.  skip[i] != 0 rows are passed through with
+// count = -2 (caller normalizes and re-encodes them); pattern-gated rows
+// get count = -1 (caller's exact added-token matcher).
+static void encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
+                               const int64_t* szs, const uint8_t* pre,
+                               const uint8_t* skip, const int64_t* offsets,
+                               int64_t n_texts, const PatternSet* ps,
+                               int32_t* out, int32_t* out_counts,
+                               int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    if (n_texts < n_threads * 4) n_threads = 1;
+    int64_t total = offsets[n_texts];
+    auto worker = [&](int tid) {
+        std::vector<int32_t> scratch;
+        scratch.reserve(64);
+        std::vector<uint8_t> tmp;
+        WordCache* cache = &c->caches[tid];
+        ShortCache* sc = &c->short_caches[tid];
+        int64_t lo_b = total * tid / n_threads;
+        int64_t hi_b = total * (tid + 1) / n_threads;
+        for (int64_t i = 0; i < n_texts; ++i) {
+            int64_t a = offsets[i];
+            if (a < lo_b || a >= hi_b) continue;
+            if (skip && skip[i]) {
+                out_counts[i] = -2;
+                continue;
+            }
+            if (ps && ps->matches_pre(ptrs[i], szs[i], pre[i] != 0)) {
+                out_counts[i] = -1;
+                continue;
+            }
+            out_counts[i] = (int32_t)encode_text_span(
+                c, cache, sc, ptrs[i], szs[i], pre[i] != 0, out + a, scratch,
+                tmp);
+        }
+    };
+    pool().run(n_threads, worker);
+}
 
 void ctok_match_any(const uint8_t* joined, const int64_t* offsets,
                     int64_t n_texts, const uint8_t* pat_buf,
@@ -1287,13 +1484,7 @@ void ctok_match_any(const uint8_t* joined, const int64_t* offsets,
             out_flags[i] = ps.matches(joined + a, offsets[i + 1] - a) ? 1 : 0;
         }
     };
-    if (n_threads == 1) {
-        worker(0);
-    } else {
-        std::vector<std::thread> threads;
-        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
-        for (auto& th : threads) th.join();
-    }
+    pool().run(n_threads, worker);
 }
 
 // Fused gate + encode: texts where an added-token pattern occurs get
@@ -1330,13 +1521,7 @@ void ctok_encode_batch_gated(void* p, const uint8_t* joined,
                 c, cache, sc, joined + a, len, out + a, scratch);
         }
     };
-    if (n_threads == 1) {
-        worker(0);
-    } else {
-        std::vector<std::thread> threads;
-        for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
-        for (auto& th : threads) th.join();
-    }
+    pool().run(n_threads, worker);
 }
 
 // Batch pack: joined byte buffer + offsets -> zero-padded [B, L] matrix.
@@ -1370,18 +1555,21 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
     int aps;
     PyObject* pats_obj;
     int n_threads;
-    if (!PyArg_ParseTuple(args, "KOiOi", &addr, &texts_obj, &aps, &pats_obj,
-                          &n_threads))
+    int ascii_norm = 0;  // 1: flag non-ASCII rows back (count == -2) so the
+                         // caller can apply its Unicode normalizer to them
+    if (!PyArg_ParseTuple(args, "KOiOi|i", &addr, &texts_obj, &aps, &pats_obj,
+                          &n_threads, &ascii_norm))
         return nullptr;
     Ctx* c = (Ctx*)(uintptr_t)addr;
 
     PyObject* seq = PySequence_Fast(texts_obj, "texts must be a sequence");
     if (!seq) return nullptr;
     Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
-    std::vector<const char*> ptrs((size_t)n);
-    std::vector<Py_ssize_t> szs((size_t)n);
+    std::vector<const uint8_t*> ptrs((size_t)n);
+    std::vector<int64_t> szs((size_t)n);
     std::vector<uint8_t> pre((size_t)n);
-    int64_t total = 0;
+    std::vector<uint8_t> skip;
+    if (ascii_norm) skip.resize((size_t)n, 0);
     for (Py_ssize_t i = 0; i < n; ++i) {
         PyObject* t = PySequence_Fast_GET_ITEM(seq, i);
         Py_ssize_t sz;
@@ -1390,10 +1578,10 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
             Py_DECREF(seq);
             return nullptr;
         }
-        ptrs[i] = u;
-        szs[i] = sz;
+        ptrs[i] = (const uint8_t*)u;
+        szs[i] = (int64_t)sz;
         pre[i] = (uint8_t)(aps && sz > 0 && u[0] != ' ');
-        total += sz + pre[i];
+        if (ascii_norm && !PyUnicode_IS_ASCII(t)) skip[(size_t)i] = 1;
     }
 
     // patterns: sequence of bytes objects (may be empty)
@@ -1418,39 +1606,35 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
         pat_offsets[(size_t)p + 1] = (int64_t)pat_buf.size();
     }
 
-    // uninitialized buffers: every byte is overwritten (joined) or only
-    // read up to counts (out), and zero-filling 4 bytes/input byte would
-    // cost more than the scan itself
-    std::unique_ptr<uint8_t[]> joined(new uint8_t[(size_t)(total > 0 ? total : 1)]);
-    std::vector<int64_t> offsets((size_t)n + 1, 0);
+    // Encode straight from the unicode objects' cached UTF-8 buffers —
+    // no corpus join, no per-call multi-MB allocations (Ctx arenas are
+    // reused across calls).  call_mu serializes arena users and is only
+    // ever taken with the GIL released; the GIL is then re-acquired while
+    // still holding it for the output build (safe: no thread waits on
+    // call_mu while holding the GIL).
+    PyThreadState* tstate = PyEval_SaveThread();
+    c->call_mu.lock();
+    int64_t* offsets = c->offsets_arena.ensure((size_t)n + 1);
+    offsets[0] = 0;
+    for (Py_ssize_t i = 0; i < n; ++i)
+        offsets[i + 1] = offsets[i] + szs[(size_t)i] + pre[(size_t)i];
+    int64_t total = offsets[n];
+    int32_t* out = c->out_arena.ensure((size_t)(total > 0 ? total : 1));
+    int32_t* counts = c->counts_arena.ensure((size_t)(n > 0 ? n : 1));
     {
-        int64_t pos = 0;
-        for (Py_ssize_t i = 0; i < n; ++i) {
-            if (pre[i]) joined[(size_t)pos++] = ' ';
-            std::memcpy(joined.get() + pos, ptrs[i], (size_t)szs[i]);
-            pos += szs[i];
-            offsets[(size_t)i + 1] = pos;
-        }
+        PatternSet ps(pat_buf.data(), pat_offsets.data(), n_pats);
+        encode_batch_spans(c, ptrs.data(), szs.data(), pre.data(),
+                           skip.empty() ? nullptr : skip.data(), offsets, n,
+                           n_pats ? &ps : nullptr, out, counts, n_threads);
     }
-    Py_DECREF(pats_seq);
-    Py_DECREF(seq);
+    PyEval_RestoreThread(tstate);
 
-    std::unique_ptr<int32_t[]> out(new int32_t[(size_t)(total > 0 ? total : 1)]);
-    std::vector<int32_t> counts((size_t)(n > 0 ? n : 1), 0);
-    Py_BEGIN_ALLOW_THREADS
-    if (n_pats) {
-        ctok_encode_batch_gated(c, joined.get(), offsets.data(), n,
-                                pat_buf.data(), pat_offsets.data(), n_pats,
-                                out.get(), counts.data(), n_threads);
-    } else {
-        ctok_encode_batch(c, joined.get(), offsets.data(), n, out.get(),
-                          counts.data(), n_threads);
-    }
-    Py_END_ALLOW_THREADS
-
-    // flagged rows (count == -1) are compacted as empty; the caller
-    // host-encodes and splices them (rare)
+    // flagged rows (count == -1 added-token candidates, -2 non-ASCII under
+    // ascii_norm) are compacted as empty; the caller re-encodes and
+    // splices them (rare)
     PyObject* flagged = nullptr;
+    PyObject* nonascii = nullptr;
+    bool fail = false;
     int64_t total_ids = 0;
     for (Py_ssize_t i = 0; i < n; ++i)
         if (counts[(size_t)i] > 0) total_ids += counts[(size_t)i];
@@ -1459,33 +1643,47 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
     PyObject* off_b = PyByteArray_FromStringAndSize(
         nullptr, (n + 1) * (Py_ssize_t)sizeof(int64_t));
     if (!flat_b || !off_b) {
+        fail = true;
+    } else {
+        int32_t* flat = (int32_t*)PyByteArray_AS_STRING(flat_b);
+        int64_t* row_off = (int64_t*)PyByteArray_AS_STRING(off_b);
+        int64_t pos = 0;
+        for (Py_ssize_t i = 0; i < n && !fail; ++i) {
+            row_off[i] = pos;
+            int32_t cnt = counts[(size_t)i];
+            if (cnt > 0) {
+                std::memcpy(flat + pos, out + offsets[i],
+                            (size_t)cnt * sizeof(int32_t));
+                pos += cnt;
+            } else if (cnt < 0) {
+                PyObject** lst = cnt == -1 ? &flagged : &nonascii;
+                if (!*lst) *lst = PyList_New(0);
+                PyObject* idx = PyLong_FromSsize_t(i);
+                if (!*lst || !idx || PyList_Append(*lst, idx) < 0) fail = true;
+                Py_XDECREF(idx);
+            }
+        }
+        row_off[n] = pos;
+    }
+    c->call_mu.unlock();
+    Py_DECREF(pats_seq);
+    Py_DECREF(seq);
+    if (fail) {
         Py_XDECREF(flat_b);
         Py_XDECREF(off_b);
+        Py_XDECREF(flagged);
+        Py_XDECREF(nonascii);
         return nullptr;
     }
-    int32_t* flat = (int32_t*)PyByteArray_AS_STRING(flat_b);
-    int64_t* row_off = (int64_t*)PyByteArray_AS_STRING(off_b);
-    int64_t pos = 0;
-    for (Py_ssize_t i = 0; i < n; ++i) {
-        row_off[i] = pos;
-        int32_t cnt = counts[(size_t)i];
-        if (cnt > 0) {
-            std::memcpy(flat + pos, out.get() + offsets[(size_t)i],
-                        (size_t)cnt * sizeof(int32_t));
-            pos += cnt;
-        } else if (cnt < 0) {
-            if (!flagged) flagged = PyList_New(0);
-            PyObject* idx = PyLong_FromSsize_t(i);
-            PyList_Append(flagged, idx);
-            Py_DECREF(idx);
-        }
-    }
-    row_off[n] = pos;
     if (!flagged) {
         flagged = Py_None;
         Py_INCREF(Py_None);
     }
-    return Py_BuildValue("(NNN)", flat_b, off_b, flagged);
+    if (!nonascii) {
+        nonascii = Py_None;
+        Py_INCREF(Py_None);
+    }
+    return Py_BuildValue("(NNNN)", flat_b, off_b, flagged, nonascii);
 }
 
 // Token-id PyLong interning: ids repeat constantly (vocab-bounded), so
@@ -1518,6 +1716,7 @@ static PyObject* ctok_py_encode_rows(PyObject* self, PyObject* args) {
     PyObject* flat_b = PyTuple_GET_ITEM(tup, 0);
     PyObject* off_b = PyTuple_GET_ITEM(tup, 1);
     PyObject* flagged = PyTuple_GET_ITEM(tup, 2);
+    PyObject* nonascii = PyTuple_GET_ITEM(tup, 3);
     const int32_t* flat = (const int32_t*)PyByteArray_AS_STRING(flat_b);
     const int64_t* off = (const int64_t*)PyByteArray_AS_STRING(off_b);
     Py_ssize_t n = PyByteArray_GET_SIZE(off_b) / (Py_ssize_t)sizeof(int64_t) - 1;
@@ -1527,10 +1726,11 @@ static PyObject* ctok_py_encode_rows(PyObject* self, PyObject* args) {
         return nullptr;
     }
     std::vector<uint8_t> is_flagged((size_t)(n > 0 ? n : 1), 0);
-    if (flagged != Py_None) {
-        Py_ssize_t nf = PyList_GET_SIZE(flagged);
+    for (PyObject* fl : {flagged, nonascii}) {
+        if (fl == Py_None) continue;
+        Py_ssize_t nf = PyList_GET_SIZE(fl);
         for (Py_ssize_t k = 0; k < nf; ++k) {
-            Py_ssize_t idx = PyLong_AsSsize_t(PyList_GET_ITEM(flagged, k));
+            Py_ssize_t idx = PyLong_AsSsize_t(PyList_GET_ITEM(fl, k));
             if (idx >= 0 && idx < n) is_flagged[(size_t)idx] = 1;
         }
     }
@@ -1635,14 +1835,7 @@ static PyObject* ctok_py_count_words(PyObject*, PyObject* args) {
                 }
             }
         };
-        if (n_threads == 1) {
-            worker(0);
-        } else {
-            std::vector<std::thread> threads;
-            for (int t = 0; t < n_threads; ++t)
-                threads.emplace_back(worker, t);
-            for (auto& th : threads) th.join();
-        }
+        pool().run(n_threads, worker);
         for (int t = 1; t < n_threads; ++t) {
             for (auto& kv : maps[(size_t)t]) maps[0][kv.first] += kv.second;
             maps[(size_t)t].clear();

@@ -561,26 +561,39 @@ class Tokenizer:
         with word cache, falling back to device then host), "device" (TPU
         pipeline), "native", or "host" (pure-Python oracle)."""
         backend = backend or self.encode_backend
-        normalized = self._normalize_batch(texts)
-        n = len(normalized)
+        n = len(texts)
         out: list[list[int] | None] = [None] * n
 
         if backend in ("auto", "native"):
             native = self._get_native_encoder()
             if native is not None:
+                # NFC-family normalizers are the identity on ASCII text, so
+                # the C pass takes the raw strings and flags non-ASCII rows
+                # back (None) — no Python-side normalize pass at all
+                norm = self.normalizer
+                ascii_norm = norm is not None and self._norm_ascii_ok
+                normalized = (
+                    texts
+                    if norm is None or ascii_norm
+                    else [norm.normalize(t) for t in texts]
+                )
                 pats = self._added_byte_patterns() if self.added_tokens else None
                 aps = self._byte_level_prefix_space()
-                rows = native.encode_rows_fused(normalized, aps, pats)
+                rows = native.encode_rows_fused(
+                    normalized, aps, pats, ascii_norm=ascii_norm
+                )
                 if rows is not None:
                     for i, r in enumerate(rows):
                         out[i] = (
                             r
                             if r is not None
-                            else self._encode_host(
-                                normalized[i], already_normalized=True
+                            else self._encode_row_exact(
+                                normalized[i], ascii_norm
                             )
                         )
                     return out  # type: ignore[return-value]
+                if ascii_norm:
+                    normalized = self._normalize_batch(texts)
                 data = self._prepare_bytes(normalized)
                 raw, offsets, counts = native._encode_batch_raw(data, None, pats)
                 for i in range(n):
@@ -593,6 +606,8 @@ class Tokenizer:
                             normalized[i], already_normalized=True
                         )
                 return out  # type: ignore[return-value]
+
+        normalized = self._normalize_batch(texts)
 
         if backend in ("auto", "device"):
             pipeline = self._get_pipeline()
@@ -625,6 +640,14 @@ class Tokenizer:
         for i in range(n):
             out[i] = self._encode_host(normalized[i], already_normalized=True)
         return out  # type: ignore[return-value]
+
+    def _encode_row_exact(self, text: str, raw: bool) -> list[int]:
+        """Exact single-text path for rows the fused C pass flagged back
+        (added-token candidates, and non-ASCII rows under the C-side
+        ASCII-identity normalize gate).  ``raw`` = not yet normalized."""
+        if raw:
+            return self.encode(text)
+        return self._encode_host(text, already_normalized=True)
 
     def encode_batch_ragged(self, texts: list[str]):
         """Zero-copy batch encode: (flat_ids int32, row_offsets int64).
@@ -660,30 +683,39 @@ class Tokenizer:
             else None
         )
         if native is not None:
-            normalized = self._normalize_batch(texts)
+            norm = self.normalizer
+            ascii_norm = norm is not None and self._norm_ascii_ok
+            normalized = (
+                texts
+                if norm is None or ascii_norm
+                else [norm.normalize(t) for t in texts]
+            )
             n = len(normalized)
             pats = self._added_byte_patterns() if self.added_tokens else None
             aps = self._byte_level_prefix_space()
-            fused = native.encode_ragged_fused(normalized, aps, pats)
+            fused = native.encode_ragged_fused(
+                normalized, aps, pats, ascii_norm=ascii_norm
+            )
             if fused is not None:
-                flat, row_offsets, flagged = fused
-                if not flagged:
+                flat, row_offsets, flagged, nonascii = fused
+                if not flagged and not nonascii:
                     return flat, row_offsets
-                # rare: splice host-encoded added-token rows (empty in the
-                # fused output) into the flat stream
-                flagged_set = set(flagged)
+                # rare: splice back rows the fused pass flagged (added-token
+                # candidates / non-ASCII under the C ascii gate) via the
+                # exact single-text path
+                redo = set(flagged or ()) | set(nonascii or ())
                 parts = [
                     flat[row_offsets[i] : row_offsets[i + 1]]
-                    if i not in flagged_set
+                    if i not in redo
                     else np.asarray(
-                        self._encode_host(
-                            normalized[i], already_normalized=True
-                        ),
+                        self._encode_row_exact(normalized[i], ascii_norm),
                         np.int32,
                     )
                     for i in range(n)
                 ]
                 return self._ragged_from_parts(parts)
+            if ascii_norm:
+                normalized = self._normalize_batch(texts)
             data = self._prepare_bytes(normalized)
             raw, offsets, counts = native._encode_batch_raw(data, None, pats)
             if n == 0 or counts.min() >= 0:
@@ -1254,14 +1286,39 @@ class Tokenizer:
         ext = load_ext()
         if ext is None or not hasattr(ext, "frame_rows"):
             return None
-        normalized = self._normalize_batch(texts)
+        norm = self.normalizer
+        ascii_norm = norm is not None and self._norm_ascii_ok
+        normalized = (
+            texts
+            if norm is None or ascii_norm
+            else [norm.normalize(t) for t in texts]
+        )
         aps = self._byte_level_prefix_space()
-        fused = native.encode_ragged_fused(normalized, aps, None)
+        fused = native.encode_ragged_fused(
+            normalized, aps, None, ascii_norm=ascii_norm
+        )
         if fused is None:
             return None
-        flat, offs, _flagged = fused  # patterns=None -> nothing flagged
-        prefix, suffix = frame
+        flat, offs, _flagged, nonascii = fused  # patterns=None: no -1 rows
         import numpy as np
+
+        if nonascii:
+            # splice the C-flagged non-ASCII rows back in: normalize, then
+            # the pattern-free single encode — this __call__ path matches
+            # the reference's no-added-token-matching quirk (mod.rs:397-446)
+            redo = set(nonascii)
+
+            def _enc(t: str):
+                data = self._prepare_bytes([norm.normalize(t)])[0]
+                return np.asarray(native.encode(data), np.int32)
+
+            parts = [
+                flat[offs[i] : offs[i + 1]] if i not in redo
+                else _enc(normalized[i])
+                for i in range(len(normalized))
+            ]
+            flat, offs = self._ragged_from_parts(parts)
+        prefix, suffix = frame
 
         pad_id, pad_token = self._pad_id_token()
         pad_left = padding == "left" or self._padding_side == "left"

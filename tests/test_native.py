@@ -183,7 +183,10 @@ def test_fused_extension_matches_bytes_path():
     texts = conformance_corpus() + ["has <s> inside", "", "plain"]
     normalized = [tok.normalizer.normalize(t) for t in texts]
     pats = tok._added_byte_patterns()
-    flat, offs, flagged = ne.encode_ragged_fused(normalized, False, pats)
+    flat, offs, flagged, nonascii = ne.encode_ragged_fused(
+        normalized, False, pats
+    )
+    assert nonascii is None  # ascii_norm off: nothing flagged non-ASCII
     host = [tok._encode_host(t, already_normalized=True) for t in normalized]
     flagged = set(flagged or [])
     for i, h in enumerate(host):
