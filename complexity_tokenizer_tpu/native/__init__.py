@@ -194,6 +194,18 @@ def load_library():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.ctok_pack_seg.restype = ctypes.c_int64
+        lib.ctok_pack_seg.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -383,14 +395,30 @@ class NativeEncoder:
         n = len(word_lens)
         if n == 0:
             return
+        ids_counts = np.fromiter(
+            (len(r) for r in ids_rows), np.int64, count=n
+        )
+        total = int(ids_counts.sum())
+        ids_buf = np.fromiter(
+            (i for r in ids_rows for i in r), np.int32, count=total
+        ) if total else np.zeros(1, np.int32)
+        self.cache_insert_flat(words_buf, word_lens, ids_buf, ids_counts)
+
+    def cache_insert_flat(self, words_buf: np.ndarray, word_lens,
+                          ids_flat: np.ndarray, ids_counts):
+        """cache_insert from flat device output: ids for word w are
+        ``ids_flat[cumsum(ids_counts)[w-1]:...[w]]`` — no Python-list
+        materialization (not concurrency-safe with encode calls)."""
+        n = len(word_lens)
+        if n == 0:
+            return
         word_offsets = np.zeros(n + 1, np.int64)
         np.cumsum(word_lens, out=word_offsets[1:])
         ids_offsets = np.zeros(n + 1, np.int64)
-        np.cumsum([len(r) for r in ids_rows], out=ids_offsets[1:])
-        ids_buf = np.fromiter(
-            (i for r in ids_rows for i in r), np.int32,
-            count=int(ids_offsets[-1]),
-        ) if ids_offsets[-1] else np.zeros(1, np.int32)
+        np.cumsum(ids_counts, out=ids_offsets[1:])
+        ids_buf = np.ascontiguousarray(ids_flat, np.int32)
+        if ids_buf.size == 0:
+            ids_buf = np.zeros(1, np.int32)
         wb = np.ascontiguousarray(words_buf, np.uint8)
         self._lib.ctok_cache_insert_batch(
             self._ctx, _ptr(wb), _ptr(word_offsets), n, _ptr(ids_buf),

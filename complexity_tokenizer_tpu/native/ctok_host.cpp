@@ -1524,6 +1524,41 @@ void ctok_encode_batch_gated(void* p, const uint8_t* joined,
     pool().run(n_threads, worker);
 }
 
+// Segment pack: lay words back to back into [max_rows, W] byte rows (a
+// word never spans rows), with per-position marks 1 = word start,
+// 2 = continuation, 0 = pad, and each word's flat start position
+// (row*W + col) in out_starts.  The dense layout keeps the device merge
+// matrix ~95% occupied instead of one short word per 128-lane row —
+// proportionally less transfer and compute per word.  Returns the number
+// of words packed (may be < n_words when rows run out); *rows_used gets
+// the row count actually touched.
+int64_t ctok_pack_seg(const uint8_t* joined, const int64_t* offsets,
+                      int64_t n_words, int64_t W, int64_t max_rows,
+                      uint8_t* out_bytes, uint8_t* out_marks,
+                      int64_t* out_starts, int64_t* rows_used) {
+    std::memset(out_bytes, 0, (size_t)(max_rows * W));
+    std::memset(out_marks, 0, (size_t)(max_rows * W));
+    int64_t row = 0, col = 0, w = 0;
+    for (; w < n_words; ++w) {
+        int64_t a = offsets[w];
+        int64_t len = offsets[w + 1] - a;
+        if (len <= 0 || len > W) break;  // caller filters; safety stop
+        if (col + len > W) {
+            ++row;
+            col = 0;
+        }
+        if (row >= max_rows) break;
+        int64_t base = row * W + col;
+        std::memcpy(out_bytes + base, joined + a, (size_t)len);
+        out_marks[base] = 1;
+        std::memset(out_marks + base + 1, 2, (size_t)(len - 1));
+        out_starts[w] = base;
+        col += len;
+    }
+    *rows_used = (row < max_rows) ? row + (col > 0 ? 1 : 0) : max_rows;
+    return w;
+}
+
 // Batch pack: joined byte buffer + offsets -> zero-padded [B, L] matrix.
 void ctok_pack(const uint8_t* joined, const int64_t* offsets, int64_t B,
                int64_t L, uint8_t* out, int32_t* lens) {

@@ -4,17 +4,28 @@ The reference re-runs its merge loop for every occurrence of every word
 (bpe.rs:82-118 via huggingface/mod.rs:601-605).  This tier splits the work
 by its nature instead: the native scanner (memory-bound, SIMD C++) finds
 word boundaries and assembles cached results, while the TPU does the
-compute-bound part — the BPE merge loop — once per *distinct* word, batched
-as a dense ``[n_words, W]`` token matrix (SURVEY §7 "words-flattened
-layout").  Results are inserted into the native runtime's shared word
-caches, so steady-state serving runs at host assembly speed and every new
-word is merged on the accelerator.
+compute-bound part — the BPE merge loop — once per *distinct* word.
 
-Compared to the text-lanes pipeline (ops/pipeline.py), the word layout cuts
-both compute and transfer by an order of magnitude: rows are one 128-lane
-tile instead of up to 4096, the fixpoint loop runs only as long as the
-deepest *word* (not the slowest text), and only distinct words cross the
-host<->device link.
+Layout (v2, segment-packed): distinct words are laid back to back into
+dense ``[B, 128]`` byte rows (a word never spans rows) with per-position
+segment marks; the device derives word ids from the marks and runs the
+``merge_words`` segmented fixpoint kernel (ops/merge.py).  Compared to the
+v1 one-word-per-row layout this keeps the matrix ~95% occupied instead of
+~6%, cutting host<->device transfer AND on-device scan work by an order of
+magnitude per word — the dominant costs at this batch scale.
+
+Integration modes:
+
+- explicit (``backend="device"`` / ``fill_caches``): synchronous fill,
+  used by tests and the bench's honest on-chip measurement.
+- auto (``maybe_fill_async``): non-blocking — the caller's thread only
+  scans for misses (a fast native pass) and harvests finished device
+  results into the shared caches; the JAX dispatch + readback runs on a
+  single background thread.  Every batch stays exact regardless of fill
+  timing because the native tier merges whatever is not yet cached.  All
+  native shared-cache access stays on the calling thread (the C caches
+  are not concurrency-safe by design — SURVEY §5.2's "safety by
+  construction" applies here as thread ownership, not locks).
 """
 
 from __future__ import annotations
@@ -25,30 +36,31 @@ import numpy as np
 
 __all__ = ["DeviceWordEncoder", "build_word_encoder"]
 
-# [B, W] shapes compile once each.  W = 128 (one full TPU lane tile):
-# last dims below 128 lanes hit a pathological Mosaic/XLA compile path on
-# this backend (a [n,32] merge never finished compiling; [n,128] compiles
-# in ~80s and runs in ~60ms for 1024 words), and 128 bytes covers
-# effectively every natural pre-split word — longer matches fall back to
-# the native merge loop.
+# W = 128 (one full TPU lane tile): last dims below 128 lanes hit a
+# pathological Mosaic/XLA compile path on this backend, and 128 bytes
+# covers effectively every natural pre-split word — longer words fall
+# back to the native merge loop.
 _WORD_W = 128
-# extra intermediate buckets keep first-compile cost low on backends where
-# the persistent compile cache misses across processes (axon embeds a
-# session fingerprint in the key): Mosaic/XLA compile time for the merge
-# loop grows with the batch dimension on that backend
-_B_BUCKETS = (1024, 2048, 8192, 65536)
+# row-count buckets: each [B, 128] shape compiles once (persistently
+# cached); packed rows hold ~16 natural words each, so the largest bucket
+# covers ~70K distinct words per device call
+_ROW_BUCKETS = (64, 256, 1024, 4096)
 
 
 class DeviceWordEncoder:
     """Encodes batches by device-merging distinct uncached words."""
 
-    # encode-path fills reuse one stable [fill_cap, W] compiled shape; the
-    # remainder of a large novel batch is host-merged (and cached) by the
-    # native tier, so capping bounds latency without affecting results
-    fill_cap = 1024
+    # cap on distinct words per synchronous fill (the remainder of a large
+    # novel batch is host-merged and cached by the native tier, so capping
+    # bounds latency without affecting results); the packed layout fits
+    # this in at most _ROW_BUCKETS[-1] rows
+    fill_cap = 65536
     # once warm, skip the miss scan and only sweep periodically — misses
     # between sweeps are handled (and cached) by the native merge loop
     sweep_interval = 32
+    # below this many misses the host loop is cheaper than a device round
+    # trip; the async path leaves them to the native tier
+    min_async_fill = 64
 
     def __init__(self, pipeline, native):
         self.pipeline = pipeline
@@ -58,112 +70,162 @@ class DeviceWordEncoder:
         self.sharding = None
         self._steady = False
         self._batches_since_sweep = 0
+        # async state (auto mode)
+        self._executor = None
+        self._pending = None  # (future, words_buf, lens)
+        self._device_broken = False
 
     @functools.cached_property
     def _fn(self):
+        """jit: (bytes [B,W] uint8, marks [B,W] uint8) -> tokens [B,W]
+        int32 with -1 tombstones.  marks: 1 = word start, 2 =
+        continuation, 0 = pad; word ids are a flat running count of
+        starts, so the segmented merge kernel sees each packed word as
+        one segment."""
         import jax
         import jax.numpy as jnp
 
         from ..utils.jax_setup import setup_compilation_cache
-        from .merge import merge_word_rows
+        from .merge import merge_words
 
         setup_compilation_cache()
         p = self.pipeline
         byte_token_table = p.byte_token_table
 
-        from .pallas_kernels import pallas_available, pallas_seed_tokens
-
-        use_pallas = pallas_available()
-
-        def fn(arr, lens):
-            if use_pallas:
-                # fused VMEM seed kernel (gather + mask + tombstone fill)
-                tokens = pallas_seed_tokens(arr, lens, byte_token_table)
-            else:
-                from .merge import seed_tokens
-
-                W = arr.shape[1]
-                pos = jnp.arange(W, dtype=jnp.int32)[None, :]
-                valid = pos < lens[:, None]
-                tokens, _ = seed_tokens(arr, lens, valid, byte_token_table)
-            return merge_word_rows(
-                tokens, p.disp, p.rows, p.table_size, p.n_buckets
+        def fn(bytes_bw, marks):
+            B, W = bytes_bw.shape
+            valid = marks > 0
+            starts = (marks == 1).astype(jnp.int32)
+            wid = jnp.cumsum(starts.reshape(-1)).reshape(B, W) - 1
+            wid = jnp.where(valid, wid, -1)
+            tokens = byte_token_table[bytes_bw.astype(jnp.int32)]
+            tokens = jnp.where(valid, tokens, -1)
+            merged, _counts = merge_words(
+                tokens, wid, p.disp, p.rows, p.table_size, p.n_buckets
             )
+            return merged
 
         return jax.jit(fn)
 
-    def _encode_word_matrix(self, words_buf: np.ndarray, lens: np.ndarray):
-        """[n] ragged words -> list of id rows via device merge."""
-        n = len(lens)
-        offs = np.zeros(n + 1, np.int64)
-        np.cumsum(lens, out=offs[1:])
-        rows_out: list[list[int]] = []
-        max_b = _B_BUCKETS[-1]
-        for start in range(0, n, max_b):
-            stop = min(start + max_b, n)
-            m = stop - start
-            B = next(b for b in _B_BUCKETS if b >= m)
-            arr, ls = self._pack(words_buf, offs, start, m, B)
-            if self.sharding is not None:
-                import jax
+    # ------------------------------------------------------------------
+    # packed device encode
+    # ------------------------------------------------------------------
 
-                arr = jax.device_put(arr, self.sharding)
-                ls = jax.device_put(ls, self.sharding)
-            tokens, counts = self._fn(arr, ls)
-            tokens = np.asarray(tokens)[:m]
-            counts = np.asarray(counts)[:m]
-            # one vectorized extraction: live ids in row order, split at
-            # the per-row counts (a per-row mask+tolist loop is pure
-            # Python overhead at 64K-row chunks)
-            flat = tokens[tokens >= 0].tolist()
-            bounds = np.zeros(m + 1, np.int64)
-            np.cumsum(counts, out=bounds[1:])
-            rows_out.extend(
-                flat[bounds[r] : bounds[r + 1]] for r in range(m)
-            )
-        return rows_out
-
-    def _pack(self, words_buf, offs, start: int, m: int, B: int):
-        arr = np.zeros((B, _WORD_W), np.uint8)
-        ls = np.zeros(B, np.int32)
+    def _pack_seg(self, words_buf: np.ndarray, offs: np.ndarray, w0: int,
+                  n_words: int, max_rows: int):
+        """Segment-pack words [w0, w0+n_words) into dense rows.  Returns
+        (bytes [max_rows,W], marks [max_rows,W], starts [n_fit], n_fit,
+        rows_used)."""
         lib = getattr(self.native, "_lib", None)
+        arr = np.empty((max_rows, _WORD_W), np.uint8)
+        marks = np.empty((max_rows, _WORD_W), np.uint8)
+        starts = np.empty(max(n_words, 1), np.int64)
         if lib is not None:
             from ..native import _ptr
 
             wb = np.ascontiguousarray(words_buf, np.uint8)
-            chunk_offs = np.ascontiguousarray(offs[start : start + m + 1], np.int64)
-            lib.ctok_pack(_ptr(wb if wb.size else np.zeros(1, np.uint8)),
-                          _ptr(chunk_offs), m, _WORD_W, _ptr(arr), _ptr(ls))
-            # rows >= m stay zero from the np.zeros allocation — ctok_pack
-            # only writes rows < m
-            return arr, ls
-        for r in range(m):
-            a = offs[start + r]
-            ls[r] = lens_ = int(offs[start + r + 1] - a)
-            arr[r, :lens_] = words_buf[a : a + lens_]
-        return arr, ls
+            if not wb.size:
+                wb = np.zeros(1, np.uint8)
+            chunk_offs = np.ascontiguousarray(
+                offs[w0 : w0 + n_words + 1], np.int64
+            )
+            rows_used = np.zeros(1, np.int64)
+            n_fit = lib.ctok_pack_seg(
+                _ptr(wb), _ptr(chunk_offs), n_words, _WORD_W, max_rows,
+                _ptr(arr), _ptr(marks), _ptr(starts), _ptr(rows_used),
+            )
+            return arr, marks, starts[:n_fit], int(n_fit), int(rows_used[0])
+        # pure-numpy fallback (no native library)
+        arr[:] = 0
+        marks[:] = 0
+        row = col = 0
+        n_fit = 0
+        for w in range(n_words):
+            a, b = int(offs[w0 + w]), int(offs[w0 + w + 1])
+            ln = b - a
+            if ln <= 0 or ln > _WORD_W:
+                break
+            if col + ln > _WORD_W:
+                row += 1
+                col = 0
+            if row >= max_rows:
+                break
+            base = row * _WORD_W + col
+            arr.reshape(-1)[base : base + ln] = words_buf[a:b]
+            marks.reshape(-1)[base] = 1
+            marks.reshape(-1)[base + 1 : base + ln] = 2
+            starts[w] = base
+            col += ln
+            n_fit += 1
+        rows_used = row + (1 if col else 0)
+        return arr, marks, starts[:n_fit], n_fit, rows_used
+
+    def _encode_words_packed(self, words_buf: np.ndarray, lens: np.ndarray):
+        """Ragged distinct words -> (ids_flat int32, ids_counts int64) via
+        the packed device merge.  Pure device + numpy work — safe to run
+        off the main thread (no native shared-cache access)."""
+        n = len(lens)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        ids_parts: list[np.ndarray] = []
+        cnt_parts: list[np.ndarray] = []
+        w_done = 0
+        max_rows = _ROW_BUCKETS[-1]
+        while w_done < n:
+            arr, marks, starts, n_fit, rows_used = self._pack_seg(
+                words_buf, offs, w_done, n - w_done, max_rows
+            )
+            if n_fit == 0:
+                break
+            B = next(b for b in _ROW_BUCKETS if b >= rows_used)
+            a, m = arr[:B], marks[:B]
+            if self.sharding is not None:
+                import jax
+
+                a = jax.device_put(a, self.sharding)
+                m = jax.device_put(m, self.sharding)
+            tokens = np.asarray(self._fn(a, m)).reshape(-1)
+            alive = tokens >= 0
+            cs = np.zeros(len(tokens) + 1, np.int64)
+            np.cumsum(alive, out=cs[1:])
+            ln = lens[w_done : w_done + n_fit].astype(np.int64)
+            cnt_parts.append(cs[starts + ln] - cs[starts])
+            ids_parts.append(tokens[alive])
+            w_done += n_fit
+        if not ids_parts:
+            return np.zeros(0, np.int32), np.zeros(0, np.int64)
+        ids_flat = np.concatenate(ids_parts).astype(np.int32, copy=False)
+        counts = np.concatenate(cnt_parts)
+        return ids_flat, counts
+
+    # ------------------------------------------------------------------
+    # synchronous fill (explicit device backend, bench, tests)
+    # ------------------------------------------------------------------
 
     def fill_caches(self, data: list[bytes], max_words: int | None = None) -> int:
         """Device-encode the distinct uncached words in the corpus and
         insert them into the native shared caches.  Returns the number of
         words filled.  ``max_words`` caps the device batch (the remainder
-        is computed lazily by the native merge loop) — useful on backends
-        with expensive first compiles for large batch shapes."""
+        is computed lazily by the native merge loop)."""
         words_buf, lens = self.native.collect_miss_words(data, _WORD_W)
         n = len(lens)
         if n == 0:
             return 0
-        if max_words is not None and n > max_words:
-            n = max_words
+        cap = max_words if max_words is not None else self.fill_cap
+        if n > cap:
+            n = cap
             lens = lens[:n]
             words_buf = words_buf[: int(np.sum(lens))]
-        ids_rows = self._encode_word_matrix(words_buf, lens)
-        self.native.cache_insert(words_buf, lens, ids_rows)
+        ids_flat, counts = self._encode_words_packed(words_buf, lens)
+        n = len(counts)  # pack may stop early on oversize words
+        self.native.cache_insert_flat(
+            words_buf[: int(np.sum(lens[:n]))], lens[:n], ids_flat, counts
+        )
         return n
 
     def _maybe_fill(self, data: list[bytes]) -> int:
-        """Adaptive fill: scan-and-fill until the caches are warm, then
-        skip the (serial) miss scan and only sweep every
+        """Adaptive synchronous fill: scan-and-fill until the caches are
+        warm, then skip the (serial) miss scan and only sweep every
         ``sweep_interval`` batches.  Skipping never affects results —
         uncached words are merged and cached by the native tier."""
         if self._steady and self._batches_since_sweep < self.sweep_interval:
@@ -171,7 +233,7 @@ class DeviceWordEncoder:
             return 0
         n = self.fill_caches(data, max_words=self.fill_cap)
         self._batches_since_sweep = 0
-        self._steady = n < max(16, self.fill_cap // 64)
+        self._steady = n < max(16, self.fill_cap // 4096)
         return n
 
     def encode_batch(self, data: list[bytes]) -> list[list[int]]:
@@ -183,6 +245,80 @@ class DeviceWordEncoder:
     def encode_batch_ragged(self, data: list[bytes]):
         self._maybe_fill(data)
         return self.native.encode_batch_ragged(data)
+
+    # ------------------------------------------------------------------
+    # async fill (backend="auto" on TPU)
+    # ------------------------------------------------------------------
+
+    def maybe_fill_async(self, data_fn) -> None:
+        """Non-blocking fill hook for the auto path, called at the top of
+        a batch encode on the owning thread.  Harvests a finished device
+        fill into the shared caches (main-thread insert), else launches a
+        new fill when a scan is due.  ``data_fn`` lazily materializes the
+        corpus byte strings (only invoked when a scan actually runs)."""
+        if self._device_broken:
+            return
+        if self._pending is not None:
+            fut, wb, ls = self._pending
+            if not fut.done():
+                return
+            self._pending = None
+            try:
+                ids_flat, counts = fut.result()
+            except Exception:
+                self._device_broken = True
+                return
+            n = len(counts)
+            self.native.cache_insert_flat(
+                wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
+            )
+            return
+        if self._steady and self._batches_since_sweep < self.sweep_interval:
+            self._batches_since_sweep += 1
+            return
+        words_buf, lens = self.native.collect_miss_words(data_fn(), _WORD_W)
+        n = len(lens)
+        self._batches_since_sweep = 0
+        self._steady = n < self.min_async_fill
+        if n < self.min_async_fill:
+            return  # host merges + caches the stragglers
+        if n > self.fill_cap:
+            n = self.fill_cap
+            lens = lens[:n]
+            words_buf = words_buf[: int(np.sum(lens))]
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ctok-devfill"
+            )
+        fut = self._executor.submit(
+            self._encode_words_packed, words_buf, lens
+        )
+        self._pending = (fut, words_buf, lens)
+
+    def drain_async(self, timeout: float | None = None) -> int:
+        """Block until an in-flight async fill lands in the caches (for
+        benches/tests).  Returns the number of words inserted."""
+        if self._pending is None:
+            return 0
+        fut, wb, ls = self._pending
+        from concurrent.futures import TimeoutError as _Timeout
+
+        try:
+            ids_flat, counts = fut.result(timeout=timeout)
+        except _Timeout:
+            return 0
+        except Exception:
+            self._pending = None
+            self._device_broken = True
+            return 0
+        self._pending = None
+        n = len(counts)
+        self.native.cache_insert_flat(
+            wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
+        )
+        return n
 
 
 def build_word_encoder(tokenizer) -> DeviceWordEncoder | None:
