@@ -6,6 +6,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference README's best published figure — batch encode of
 10K texts in ~20 ms on all CPU cores (README.md:66-72), i.e. ~50 MB/s at
 ~100 B/text (BASELINE.md "derived").  vs_baseline = our bytes/s / 50e6.
+
+Honesty rules (round-2 rework):
+- every device number is measured fresh, in this process, on this run —
+  there is no cached-figure fallback; a device failure is reported as
+  ``device_error`` and nothing is backfilled.
+- numbers are labeled by what they time: the headline and the cold/warm
+  rates time the full production path (native host assembly + the auto
+  async device fill that is on by default on TPU); ``device_*`` keys time
+  the chip itself (word merges per second, novel bytes per second).
+- parity is bench-gated: ASCII and multilingual (BASELINE config 3)
+  conformance failures zero out ``vs_baseline`` so a divergence can never
+  hide behind a fast number.
 """
 
 import json
@@ -47,6 +59,21 @@ _WORDS = (
     "country area others although turned done society itself since"
 ).split()
 
+# BASELINE config 3: multilingual UTF-8 + NFC-sensitive sequences +
+# pre-tokenizer regex edge cases (config 4).  Includes decomposed forms
+# (e + combining acute), mixed scripts, contractions, whitespace runs.
+_MULTI_PIECES = [
+    "café", "café", "naïve", "naïve", "über",
+    "straße", "日本語", "中文", "한국어",
+    "Ελληνικά", "русский",
+    "العربية", "עברית",
+    "हिन्दी", "emoji \U0001f600 test",
+    "mixedテストwords", "it's", "don't", "we'll", "they've",
+    "I'm", "you'd", "    spaces    runs", "tabs\t\tand\nnewlines",
+    "123世界456", "punc!!!???...", "'''quotes'''",
+    "Ą̊ring", "ṩḍ̇ odd NFC",
+]
+
 
 def _synth_corpus(n_sentences: int, seed: int = 7) -> list[str]:
     rng = random.Random(seed)
@@ -60,6 +87,16 @@ def _synth_corpus(n_sentences: int, seed: int = 7) -> list[str]:
         if rng.random() < 0.1:
             s += " It's 2026, isn't it? Numbers: 123 456."
         out.append(s)
+    return out
+
+
+def _multi_corpus(n: int = 300, seed: int = 11) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        k = rng.randint(2, 10)
+        parts = [rng.choice(_MULTI_PIECES + _WORDS) for _ in range(k)]
+        out.append(" ".join(parts))
     return out
 
 
@@ -113,36 +150,119 @@ def _time_best(fn, n=5):
     return best
 
 
+def _drain_auto(tok, timeout=600.0):
+    """Let an in-flight auto device fill land so timed passes are steady."""
+    wp = tok._auto_word_path()
+    if wp is not None:
+        wp.drain_async(timeout=timeout)
+    return wp
+
+
+def _exact_rate(tok, texts, rows) -> float:
+    host = [tok._encode_host(t) for t in texts]
+    return sum(1 for d, h in zip(rows, host) if d == h) / max(len(texts), 1)
+
+
+def _device_detail(tok, texts, detail):
+    """Fresh on-chip measurement of the word path: what the chip itself
+    does (distinct-word merges), labeled as such.  No cached fallback."""
+    import numpy as np
+
+    wp = tok._get_word_path()
+    if wp is None:
+        detail["device_error"] = "word path unavailable"
+        return
+    import jax
+
+    detail["device_backend"] = jax.default_backend()
+    norm = tok._normalize_batch(texts)
+    data = tok._prepare_bytes(norm)
+    words_buf, lens = wp.native.collect_miss_words(data, 128)
+    # corpus words may already be cached by earlier passes; measure the
+    # merge kernel on a synthetic novel-word set of known size instead so
+    # the number is a fresh steady-state rate every round
+    rng = np.random.RandomState(0)
+    n_words = 12 * 1024  # fills the [1024, 128] packed bucket
+    syn_lens = rng.randint(3, 14, size=n_words).astype(np.int32)
+    syn_buf = (rng.randint(0, 26, size=int(syn_lens.sum())) + 97).astype(
+        np.uint8
+    )
+    t0 = time.perf_counter()
+    ids, counts = wp._encode_words_packed(syn_buf, syn_lens)
+    detail["device_first_fill_s"] = round(time.perf_counter() - t0, 3)
+    detail["device_words_filled"] = int(len(counts))
+    # steady state: same shapes, fresh words (jit warm, honest run rate)
+    syn2_lens = rng.randint(3, 14, size=n_words).astype(np.int32)
+    syn2_buf = (rng.randint(0, 26, size=int(syn2_lens.sum())) + 97).astype(
+        np.uint8
+    )
+    best = _time_best(
+        lambda: wp._encode_words_packed(syn2_buf, syn2_lens), n=3
+    )
+    detail["device_merge_words_per_s"] = round(n_words / best, 1)
+    detail["device_novel_bytes_per_s"] = round(float(syn2_lens.sum()) / best, 1)
+    # exactness of the device merges vs the native host merge loop
+    offs = np.zeros(n_words + 1, np.int64)
+    np.cumsum(syn_lens, out=offs[1:])
+    bounds = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    idxs = list(range(0, n_words, 97))
+    ok = 0
+    for w in idxs:
+        wb = syn_buf[offs[w] : offs[w + 1]].tobytes()
+        ok += wp.native.encode(wb) == ids[bounds[w] : bounds[w + 1]].tolist()
+    detail["device_exact_match_rate"] = ok / len(idxs)
+
+
 def main():
     tok = build_tokenizer()
     texts = bench_texts()
     total_bytes = sum(len(t.encode("utf-8")) for t in texts)
     detail = {"n_texts": N_TEXTS, "total_bytes": total_bytes}
 
-    # parity spot-check against the host oracle (exactness is the product)
-    sample = texts[::997]
-    host_ids = [tok._encode_host(t) for t in sample]
-    got = [tok.encode_batch(sample)[i] for i in range(len(sample))]
-    match_rate = sum(1 for d, h in zip(got, host_ids) if d == h) / max(
-        len(sample), 1
+    # parity gates (exactness is the product): ~435 ASCII rows + the full
+    # multilingual/NFC conformance corpus (BASELINE configs 3 & 4), both
+    # through the production batch path
+    sample = texts[::23]
+    detail["exact_match_rate"] = _exact_rate(
+        tok, sample, tok.encode_batch(sample)
     )
-    detail["exact_match_rate"] = match_rate
+    multi = _multi_corpus()
+    detail["multilingual_exact_match_rate"] = _exact_rate(
+        tok, multi, tok.encode_batch(multi)
+    )
+    mflat, moffs = tok.encode_batch_ragged(multi)
+    detail["multilingual_ragged_exact"] = _exact_rate(
+        tok,
+        multi,
+        [mflat[moffs[i] : moffs[i + 1]].tolist() for i in range(len(multi))],
+    )
 
-    # headline: framework-native ragged batch encode (native runtime tier,
-    # word caches warm after the warmup passes — steady-state serving)
+    # headline: the default production batch path (native host assembly;
+    # on TPU the auto async device fill is active and fills the word
+    # caches from the chip).  Warm = steady-state serving.
     tok.encode_batch_ragged(texts)
+    wp_auto = _drain_auto(tok)
+    detail["auto_device_fill"] = wp_auto is not None
     tok.encode_batch_ragged(texts)
     # best-of-15: the measurement host is a shared 2-core VM with heavy
-    # run-to-run noise; one pass is ~8 ms so the extra reps are free
+    # run-to-run noise; one pass is ~5 ms so the extra reps are free
     best = _time_best(lambda: tok.encode_batch_ragged(texts), n=15)
     bytes_per_s = total_bytes / best
     detail["ragged_best_s"] = round(best, 4)
 
-    # cold word-cache run (fresh native context)
+    # cold word-cache run (fresh native context, auto fill restarts too)
     tok._invalidate_pipeline()
     t0 = time.perf_counter()
     tok.encode_batch_ragged(texts)
-    detail["cold_cache_bytes_per_s"] = round(total_bytes / (time.perf_counter() - t0), 1)
+    detail["cold_cache_bytes_per_s"] = round(
+        total_bytes / (time.perf_counter() - t0), 1
+    )
+    _drain_auto(tok)
+    if wp_auto is not None:
+        # evidence the auto path used the chip: after the drain the corpus
+        # should have no uncached distinct words left
+        detail["auto_fill_complete"] = bool(_auto_filled(tok, texts))
 
     # list-output API (reference-compatible return type)
     best_lists = _time_best(lambda: tok.encode_batch(texts), n=3)
@@ -190,33 +310,26 @@ def main():
         1 for i, j in zip(rt[::997], rt_sample) if i == j
     ) / max(len(rt_sample), 1)
 
-    # device (TPU) tier — the word path: the chip merges every distinct
-    # uncached word, the native runtime assembles (ops/wordpath.py).
-    # Run in a subprocess so a cold first-compile on a fresh machine can
-    # never stall the headline (the jit is disk-cached after one run).
+    # device (TPU) tier, measured fresh in-process — the chip's own merge
+    # rate on distinct novel words (what the word path dispatches)
     try:
-        import subprocess
-
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device-detail"],
-            capture_output=True,
-            text=True,
-            timeout=480,
-        )
-        line = (r.stdout.strip().splitlines() or [""])[-1]
-        detail.update(json.loads(line))
+        _device_detail(tok, texts, detail)
     except Exception as e:  # pragma: no cover
         detail["device_error"] = str(e)[:200]
-        # the axon backend's remote compiles sometimes take >8 min and its
-        # compile cache misses across processes; fall back to the last
-        # successful on-hardware measurement, marked as such
-        try:
-            with open(CACHE / "device_detail.json") as f:
-                cached = json.load(f)
-            cached["device_detail_cached"] = True
-            detail.update(cached)
-        except Exception:
-            pass
+
+    # loud conformance gate: a divergence anywhere zeroes the headline
+    gates = [
+        detail.get("exact_match_rate"),
+        detail.get("multilingual_exact_match_rate"),
+        detail.get("multilingual_ragged_exact"),
+        detail.get("decode_exact_match_rate"),
+    ]
+    if "device_exact_match_rate" in detail:
+        gates.append(detail["device_exact_match_rate"])
+    conformance_ok = all(g == 1.0 for g in gates if g is not None)
+    detail["conformance_ok"] = conformance_ok
+    if not conformance_ok:
+        bytes_per_s = 0.0
 
     print(
         json.dumps(
@@ -231,52 +344,16 @@ def main():
     )
 
 
-def device_detail():
-    """Measure the device word path; prints one JSON line of detail keys."""
-    out: dict = {}
-    tok = build_tokenizer()
-    texts = bench_texts()
-    total_bytes = sum(len(t.encode("utf-8")) for t in texts)
-    try:
-        wp = tok._get_word_path()
-        if wp is None:
-            out["device_error"] = "word path unavailable"
-        else:
-            norm = tok._normalize_batch(texts)
-            data = tok._prepare_bytes(norm)
-            t0 = time.perf_counter()
-            # cap the device batch at the smallest bucket: the axon
-            # backend's compile cache misses across processes and large
-            # batch shapes compile for minutes (remainder words fill via
-            # the native merge loop on demand)
-            n_filled = wp.fill_caches(data, max_words=1024)
-            out["device_word_fill_s"] = round(time.perf_counter() - t0, 3)
-            out["device_words_filled"] = int(n_filled)
-            best_dev = _time_best(lambda: wp.encode_batch_ragged(data), n=3)
-            out["device_bytes_per_s"] = round(total_bytes / best_dev, 1)
-            sample_idx = list(range(0, N_TEXTS, 997))
-            host_ids = [tok._encode_host(texts[i]) for i in sample_idx]
-            dev_sample = wp.encode_batch([data[i] for i in sample_idx])
-            out["device_exact_match_rate"] = sum(
-                1 for d, h in zip(dev_sample, host_ids) if d == h
-            ) / max(len(sample_idx), 1)
-            import jax
-
-            out["device_backend"] = jax.default_backend()
-    except Exception as e:  # pragma: no cover
-        out["device_error"] = str(e)[:200]
-    if "device_error" not in out:
-        try:
-            CACHE.mkdir(exist_ok=True)
-            with open(CACHE / "device_detail.json", "w") as f:
-                json.dump(out, f)
-        except Exception:
-            pass
-    print(json.dumps(out))
+def _auto_filled(tok, texts) -> int:
+    """Distinct words the auto path has landed in the shared caches:
+    corpus misses remaining after the drain (0 remaining = all filled)."""
+    wp = tok._auto_word_path()
+    if wp is None:
+        return 0
+    data = tok._prepare_bytes(tok._normalize_batch(texts))
+    _, lens = wp.native.collect_miss_words(data, 128)
+    return int(len(lens) == 0)
 
 
 if __name__ == "__main__":
-    if "--device-detail" in sys.argv:
-        device_detail()
-    else:
-        main()
+    main()

@@ -63,7 +63,12 @@ class DeviceWordEncoder:
     min_async_fill = 64
 
     def __init__(self, pipeline, native):
-        self.pipeline = pipeline
+        # ``pipeline`` may be the built device pipeline or a zero-arg
+        # callable building it on first use — the auto path passes the
+        # callable so the (seconds-scale) table build runs on the
+        # background fill thread, never on the serving thread
+        self._pipeline = None if callable(pipeline) else pipeline
+        self._pipeline_fn = pipeline if callable(pipeline) else None
         self.native = native
         # optional jax.sharding.NamedSharding for the word-matrix rows
         # (parallel/encode.shard_word_encoder)
@@ -74,6 +79,15 @@ class DeviceWordEncoder:
         self._executor = None
         self._pending = None  # (future, words_buf, lens)
         self._device_broken = False
+
+    @property
+    def pipeline(self):
+        if self._pipeline is None and self._pipeline_fn is not None:
+            self._pipeline = self._pipeline_fn()
+            self._pipeline_fn = None
+            if self._pipeline is None:
+                raise RuntimeError("device pipeline unavailable")
+        return self._pipeline
 
     @functools.cached_property
     def _fn(self):

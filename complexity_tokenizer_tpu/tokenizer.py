@@ -285,7 +285,14 @@ class Tokenizer:
 
                 if jax.default_backend() != "tpu":
                     return None
-            self._auto_wp = self._get_word_path()
+            native = self._get_native_encoder()
+            if native is None:
+                return None
+            from .ops.wordpath import DeviceWordEncoder
+
+            # lazy pipeline: the device-table build (seconds) happens on
+            # the background fill thread, not the serving thread
+            self._auto_wp = DeviceWordEncoder(self._get_pipeline, native)
         except Exception:
             self._auto_wp = None
         return self._auto_wp
