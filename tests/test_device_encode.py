@@ -290,3 +290,107 @@ def test_device_norm_in_pipeline_matches_host():
             t = " " + t
         exp.append(t.encode("utf-8"))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# word path v2: segment packing + async auto fill
+
+
+def test_pack_seg_layout():
+    """ctok_pack_seg lays words back to back (never spanning rows) with
+    1/2/0 marks and correct flat start positions."""
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    wp = tok._get_word_path()
+    words = [b"alpha", b"bb", b"c" * 128, b"dd", b"e" * 127]
+    buf = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.array([len(w) for w in words], np.int32)
+    offs = np.zeros(len(words) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    arr, marks, starts, n_fit, rows_used = wp._pack_seg(
+        buf, offs, 0, len(words), 8
+    )
+    assert n_fit == len(words)
+    flat_b, flat_m = arr.reshape(-1), marks.reshape(-1)
+    pos = 0
+    for w, word in enumerate(words):
+        s = int(starts[w])
+        assert s >= pos  # packing is in order
+        assert s // 128 == (s + len(word) - 1) // 128  # never spans rows
+        assert flat_b[s : s + len(word)].tobytes() == word
+        assert flat_m[s] == 1
+        assert (flat_m[s + 1 : s + len(word)] == 2).all()
+        pos = s + len(word)
+    # pads are zero-marked
+    used = np.zeros(8 * 128, bool)
+    for w, word in enumerate(words):
+        used[int(starts[w]) : int(starts[w]) + len(word)] = True
+    assert (flat_m[~used] == 0).all()
+    assert rows_used == (int(starts[-1]) + len(words[-1]) + 127) // 128
+
+
+def test_packed_device_merge_exact():
+    """The packed segment merge must match the native per-word merge loop
+    for every packed word (including multi-chunk fills)."""
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    wp = tok._get_word_path()
+    rng = np.random.RandomState(3)
+    words = []
+    for _ in range(500):
+        n = rng.randint(1, 20)
+        # letters only: the word path's contract is single pre-split
+        # words (one class run), which is what collect_miss_words emits
+        words.append(bytes(rng.choice(list(b"abcdefqxZW"), n).astype(np.uint8)))
+    words = [w for w in words if w]
+    buf = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.array([len(w) for w in words], np.int32)
+    ids, counts = wp._encode_words_packed(buf, lens)
+    bounds = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    assert len(counts) == len(words)
+    for w, word in enumerate(words):
+        exp = wp.native.encode(word)
+        got = ids[bounds[w] : bounds[w + 1]].tolist()
+        assert got == exp, (word, exp, got)
+
+
+def test_async_auto_fill_exact(monkeypatch):
+    """backend='auto' async device fill: batches stay exact while a fill
+    is pending, the drained fill lands in the shared caches, and the
+    steady state skips scans."""
+    from helpers import trained_tokenizer
+
+    monkeypatch.setenv("CTOK_AUTO_DEVICE", "1")  # force on (CPU backend)
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    texts = conformance_corpus()
+    host = [tok._encode_host(t) for t in texts]
+    assert tok.encode_batch(texts) == host  # fill may be in flight
+    wp = tok._auto_word_path()
+    assert wp is not None
+    wp.drain_async(timeout=120)
+    assert not wp._device_broken
+    # device-filled caches in play now; results identical
+    assert tok.encode_batch(texts) == host
+    flat, offs = tok.encode_batch_ragged(texts)
+    got = [flat[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))]
+    assert got == host
+    # no misses left: the corpus' distinct words all landed in the caches
+    data = tok._prepare_bytes(tok._normalize_batch(texts))
+    _, lens = wp.native.collect_miss_words(data, 128)
+    assert len(lens) == 0
+    # drive into steady state: scans stop, novel words stay exact
+    for _ in range(3):
+        tok.encode_batch(texts)
+        wp.drain_async(timeout=120)
+    assert wp._steady
+    novel = ["qqqzz wwxx yyvv 998877"]
+    assert tok.encode_batch(novel) == [tok._encode_host(t) for t in novel]
