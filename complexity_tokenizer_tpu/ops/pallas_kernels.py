@@ -45,12 +45,15 @@ __all__ = ["pallas_seed_tokens", "pallas_available"]
 def pallas_available() -> bool:
     """Whether the production word path should use the Pallas seed kernel.
 
-    Opt-in (CTOK_PALLAS=1) on TPU backends: on the axon remote-compile
-    backend used here, Mosaic kernel compiles at production batch shapes
-    stall for many minutes (the [8,128] probe compiles; [1024,128] does
-    not return within 9 min), so the default path keeps the equivalent
-    XLA fusion, which compiles quickly and fuses just as tightly.  The
-    kernel itself is correct — pinned in interpret mode by
+    Opt-in (CTOK_PALLAS=1) on TPU backends — decided by measurement, not
+    by default (PROFILE.md "Pallas vs XLA"): on-chip A/B at [64,128],
+    [256,128] and [1024,128] shows the Pallas kernel and the XLA
+    gather+mask fusion equal within noise at every production shape
+    (e.g. 30.1 ms vs 31.2 ms at [1024,128], outputs bit-identical), so
+    the default path keeps the XLA form, which additionally fuses into
+    the downstream merge computation.  Round 1's >9-minute Mosaic compile
+    stall at [1024,128] no longer reproduces (compiles now take 0.5-1.5s).
+    The kernel stays pinned correct by
     tests/test_device_encode.py::test_pallas_seed_matches_xla."""
     import os
 
