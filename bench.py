@@ -245,9 +245,9 @@ def main():
     wp_auto = _drain_auto(tok)
     detail["auto_device_fill"] = wp_auto is not None
     tok.encode_batch_ragged(texts)
-    # best-of-15: the measurement host is a shared 2-core VM with heavy
+    # best-of-25: the measurement host is a shared 2-core VM with heavy
     # run-to-run noise; one pass is ~5 ms so the extra reps are free
-    best = _time_best(lambda: tok.encode_batch_ragged(texts), n=15)
+    best = _time_best(lambda: tok.encode_batch_ragged(texts), n=25)
     bytes_per_s = total_bytes / best
     detail["ragged_best_s"] = round(best, 4)
 

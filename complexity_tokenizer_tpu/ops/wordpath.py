@@ -47,6 +47,19 @@ _WORD_W = 128
 _ROW_BUCKETS = (64, 256, 1024, 4096)
 
 
+class _FillResult:
+    """Result slot for one background device fill (daemon thread)."""
+
+    __slots__ = ("result", "error", "done")
+
+    def __init__(self):
+        import threading
+
+        self.result = None
+        self.error = None
+        self.done = threading.Event()
+
+
 class DeviceWordEncoder:
     """Encodes batches by device-merging distinct uncached words."""
 
@@ -75,9 +88,10 @@ class DeviceWordEncoder:
         self.sharding = None
         self._steady = False
         self._batches_since_sweep = 0
-        # async state (auto mode)
-        self._executor = None
-        self._pending = None  # (future, words_buf, lens)
+        # async state (auto mode): _pending = (holder, words_buf, lens);
+        # the fill runs on a daemon thread (a non-daemon executor would
+        # block interpreter exit on an in-flight first compile)
+        self._pending = None
         self._device_broken = False
 
     @property
@@ -273,15 +287,14 @@ class DeviceWordEncoder:
         if self._device_broken:
             return
         if self._pending is not None:
-            fut, wb, ls = self._pending
-            if not fut.done():
+            holder, wb, ls = self._pending
+            if not holder.done.is_set():
                 return
             self._pending = None
-            try:
-                ids_flat, counts = fut.result()
-            except Exception:
+            if holder.error is not None:
                 self._device_broken = True
                 return
+            ids_flat, counts = holder.result
             n = len(counts)
             self.native.cache_insert_flat(
                 wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
@@ -300,34 +313,36 @@ class DeviceWordEncoder:
             n = self.fill_cap
             lens = lens[:n]
             words_buf = words_buf[: int(np.sum(lens))]
-        if self._executor is None:
-            from concurrent.futures import ThreadPoolExecutor
+        holder = _FillResult()
 
-            self._executor = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="ctok-devfill"
-            )
-        fut = self._executor.submit(
-            self._encode_words_packed, words_buf, lens
-        )
-        self._pending = (fut, words_buf, lens)
+        def _run():
+            try:
+                holder.result = self._encode_words_packed(words_buf, lens)
+            except BaseException as e:  # noqa: BLE001 — recorded, not raised
+                holder.error = e
+            finally:
+                holder.done.set()
+
+        import threading
+
+        threading.Thread(
+            target=_run, name="ctok-devfill", daemon=True
+        ).start()
+        self._pending = (holder, words_buf, lens)
 
     def drain_async(self, timeout: float | None = None) -> int:
         """Block until an in-flight async fill lands in the caches (for
         benches/tests).  Returns the number of words inserted."""
         if self._pending is None:
             return 0
-        fut, wb, ls = self._pending
-        from concurrent.futures import TimeoutError as _Timeout
-
-        try:
-            ids_flat, counts = fut.result(timeout=timeout)
-        except _Timeout:
-            return 0
-        except Exception:
-            self._pending = None
-            self._device_broken = True
+        holder, wb, ls = self._pending
+        if not holder.done.wait(timeout):
             return 0
         self._pending = None
+        if holder.error is not None:
+            self._device_broken = True
+            return 0
+        ids_flat, counts = holder.result
         n = len(counts)
         self.native.cache_insert_flat(
             wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
