@@ -150,7 +150,7 @@ def _time_best(fn, n=5):
     return best
 
 
-def _drain_auto(tok, timeout=600.0):
+def _drain_auto(tok, timeout=900.0):
     """Let an in-flight auto device fill land so timed passes are steady."""
     wp = tok._auto_word_path()
     if wp is not None:

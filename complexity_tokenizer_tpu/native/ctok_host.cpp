@@ -1424,17 +1424,25 @@ struct PatternSet {
     }
 };
 
-// Batch encode over in-place text spans (no corpus join): ids for text i
-// are written at out + offsets[i], where offsets are the *virtual*
-// prefixed byte offsets.  skip[i] != 0 rows are passed through with
+// Batch encode over in-place text spans (no corpus join).  Each thread
+// owns a contiguous text range (balanced by byte volume) and writes its
+// ids *compacted* — text i's ids start right after text i-1's within the
+// thread's block, whose base is out + offsets[first text of the thread].
+// Compaction into the final flat buffer is then one memcpy per thread
+// block instead of one per text.  A thread's ids never spill into the
+// next block: ids <= bytes per text, and block t+1 starts at the byte
+// offset of its first text.  skip[i] != 0 rows are passed through with
 // count = -2 (caller normalizes and re-encodes them); pattern-gated rows
 // get count = -1 (caller's exact added-token matcher).
-static void encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
-                               const int64_t* szs, const uint8_t* pre,
-                               const uint8_t* skip, const int64_t* offsets,
-                               int64_t n_texts, const PatternSet* ps,
-                               int32_t* out, int32_t* out_counts,
-                               int n_threads) {
+// thread_base/thread_ids (size >= n_threads_used) record each block's
+// flat base offset and total id count.  Returns the thread count used.
+static int encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
+                              const int64_t* szs, const uint8_t* pre,
+                              const uint8_t* skip, const int64_t* offsets,
+                              int64_t n_texts, const PatternSet* ps,
+                              int32_t* out, int32_t* out_counts,
+                              int64_t* thread_base, int64_t* thread_ids,
+                              int n_threads) {
     if (n_threads < 1) n_threads = 1;
     if (n_threads > kMaxThreads) n_threads = kMaxThreads;
     if (n_texts < n_threads * 4) n_threads = 1;
@@ -1447,9 +1455,12 @@ static void encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
         ShortCache* sc = &c->short_caches[tid];
         int64_t lo_b = total * tid / n_threads;
         int64_t hi_b = total * (tid + 1) / n_threads;
+        int64_t base = -1;
+        int64_t pos = 0;
         for (int64_t i = 0; i < n_texts; ++i) {
             int64_t a = offsets[i];
             if (a < lo_b || a >= hi_b) continue;
+            if (base < 0) base = a;
             if (skip && skip[i]) {
                 out_counts[i] = -2;
                 continue;
@@ -1458,12 +1469,17 @@ static void encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
                 out_counts[i] = -1;
                 continue;
             }
-            out_counts[i] = (int32_t)encode_text_span(
-                c, cache, sc, ptrs[i], szs[i], pre[i] != 0, out + a, scratch,
-                tmp);
+            int64_t k = encode_text_span(c, cache, sc, ptrs[i], szs[i],
+                                         pre[i] != 0, out + base + pos,
+                                         scratch, tmp);
+            out_counts[i] = (int32_t)k;
+            pos += k;
         }
+        thread_base[tid] = base < 0 ? 0 : base;
+        thread_ids[tid] = pos;
     };
     pool().run(n_threads, worker);
+    return n_threads;
 }
 
 void ctok_match_any(const uint8_t* joined, const int64_t* offsets,
@@ -1656,11 +1672,16 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
     int64_t total = offsets[n];
     int32_t* out = c->out_arena.ensure((size_t)(total > 0 ? total : 1));
     int32_t* counts = c->counts_arena.ensure((size_t)(n > 0 ? n : 1));
+    int64_t thread_base[kMaxThreads];
+    int64_t thread_ids[kMaxThreads];
+    int n_used;
     {
         PatternSet ps(pat_buf.data(), pat_offsets.data(), n_pats);
-        encode_batch_spans(c, ptrs.data(), szs.data(), pre.data(),
-                           skip.empty() ? nullptr : skip.data(), offsets, n,
-                           n_pats ? &ps : nullptr, out, counts, n_threads);
+        n_used = encode_batch_spans(
+            c, ptrs.data(), szs.data(), pre.data(),
+            skip.empty() ? nullptr : skip.data(), offsets, n,
+            n_pats ? &ps : nullptr, out, counts, thread_base, thread_ids,
+            n_threads);
     }
     PyEval_RestoreThread(tstate);
 
@@ -1682,14 +1703,22 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
     } else {
         int32_t* flat = (int32_t*)PyByteArray_AS_STRING(flat_b);
         int64_t* row_off = (int64_t*)PyByteArray_AS_STRING(off_b);
+        // ids are already compacted within each thread's block: one
+        // memcpy per block instead of one per text
         int64_t pos = 0;
+        for (int t = 0; t < n_used; ++t) {
+            if (thread_ids[t] > 0) {
+                std::memcpy(flat + pos, out + thread_base[t],
+                            (size_t)thread_ids[t] * sizeof(int32_t));
+                pos += thread_ids[t];
+            }
+        }
+        int64_t acc = 0;
         for (Py_ssize_t i = 0; i < n && !fail; ++i) {
-            row_off[i] = pos;
+            row_off[i] = acc;
             int32_t cnt = counts[(size_t)i];
             if (cnt > 0) {
-                std::memcpy(flat + pos, out + offsets[i],
-                            (size_t)cnt * sizeof(int32_t));
-                pos += cnt;
+                acc += cnt;
             } else if (cnt < 0) {
                 PyObject** lst = cnt == -1 ? &flagged : &nonascii;
                 if (!*lst) *lst = PyList_New(0);
@@ -1698,7 +1727,7 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
                 Py_XDECREF(idx);
             }
         }
-        row_off[n] = pos;
+        row_off[n] = acc;
     }
     c->call_mu.unlock();
     Py_DECREF(pats_seq);

@@ -60,6 +60,35 @@ class _FillResult:
         self.done = threading.Event()
 
 
+# Fills still running at interpreter exit must be waited out: a daemon
+# thread parked inside an XLA compile would otherwise be force-unwound by
+# CPython's finalization when it next touches the GIL, aborting the whole
+# process through the runtime's C++ frames ("FATAL: exception not
+# rethrown").  The atexit hook joins live fills (a compile finishes in
+# bounded time); CTOK_FILL_EXIT_WAIT=0 opts out.
+_live_fills: set = set()
+_exit_hook_installed = False
+
+
+def _wait_live_fills():
+    import os
+
+    if os.environ.get("CTOK_FILL_EXIT_WAIT", "") == "0":
+        return
+    for holder in list(_live_fills):
+        holder.done.wait()
+
+
+def _track_fill(holder) -> None:
+    global _exit_hook_installed
+    if not _exit_hook_installed:
+        import atexit
+
+        atexit.register(_wait_live_fills)
+        _exit_hook_installed = True
+    _live_fills.add(holder)
+
+
 class DeviceWordEncoder:
     """Encodes batches by device-merging distinct uncached words."""
 
@@ -322,9 +351,11 @@ class DeviceWordEncoder:
                 holder.error = e
             finally:
                 holder.done.set()
+                _live_fills.discard(holder)
 
         import threading
 
+        _track_fill(holder)
         threading.Thread(
             target=_run, name="ctok-devfill", daemon=True
         ).start()
