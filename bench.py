@@ -310,6 +310,28 @@ def main():
         1 for i, j in zip(rt[::997], rt_sample) if i == j
     ) / max(len(rt_sample), 1)
 
+    # trainer throughput (BASELINE config 5's single-host leg), fresh each
+    # run: full INL loop (count -> init -> pair histogram -> merges) on the
+    # bench corpus
+    try:
+        import contextlib
+        import io
+
+        from complexity_tokenizer_tpu.trainers.inl_trainer import (
+            InlBpeTrainer,
+            TrainerConfig,
+        )
+
+        t0 = time.perf_counter()
+        tr = InlBpeTrainer(TrainerConfig(vocab_size=1024, min_frequency=1))
+        with contextlib.redirect_stdout(io.StringIO()):
+            tr.train_from_texts(texts)
+        dt = time.perf_counter() - t0
+        detail["train_1k_vocab_s"] = round(dt, 3)
+        detail["train_bytes_per_s"] = round(total_bytes / dt, 1)
+    except Exception as e:  # pragma: no cover
+        detail["train_error"] = str(e)[:200]
+
     # device (TPU) tier, measured fresh in-process — the chip's own merge
     # rate on distinct novel words (what the word path dispatches)
     try:
