@@ -69,6 +69,23 @@ class _FillResult:
 _live_fills: set = set()
 _exit_hook_installed = False
 
+# Serializes device fills across threads: the background auto-fill thread
+# and a synchronous fill (explicit backend="device", tests, bench) must
+# not compile/execute concurrently — the remote-compile TPU backend used
+# here wedges under concurrent compilation from two threads of one
+# process.  Ordinary host encode work never takes this lock, so the
+# intended overlap (chip fills vs native assembly) is unaffected.
+_device_lock = None
+
+
+def _get_device_lock():
+    global _device_lock
+    if _device_lock is None:
+        import threading
+
+        _device_lock = threading.Lock()
+    return _device_lock
+
 
 def _wait_live_fills():
     import os
@@ -109,8 +126,11 @@ class DeviceWordEncoder:
         # callable building it on first use — the auto path passes the
         # callable so the (seconds-scale) table build runs on the
         # background fill thread, never on the serving thread
+        import threading
+
         self._pipeline = None if callable(pipeline) else pipeline
         self._pipeline_fn = pipeline if callable(pipeline) else None
+        self._pipeline_lock = threading.Lock()
         self.native = native
         # optional jax.sharding.NamedSharding for the word-matrix rows
         # (parallel/encode.shard_word_encoder)
@@ -125,12 +145,19 @@ class DeviceWordEncoder:
 
     @property
     def pipeline(self):
-        if self._pipeline is None and self._pipeline_fn is not None:
-            self._pipeline = self._pipeline_fn()
-            self._pipeline_fn = None
-            if self._pipeline is None:
+        # double-checked lock: the background fill thread and a main-
+        # thread force-build (tokenizer._get_word_path adoption) may race
+        p = self._pipeline
+        if p is None:
+            with self._pipeline_lock:
+                if self._pipeline is None:
+                    fn, self._pipeline_fn = self._pipeline_fn, None
+                    if fn is not None:
+                        self._pipeline = fn()
+                p = self._pipeline
+            if p is None:
                 raise RuntimeError("device pipeline unavailable")
-        return self._pipeline
+        return p
 
     @functools.cached_property
     def _fn(self):
@@ -220,7 +247,12 @@ class DeviceWordEncoder:
     def _encode_words_packed(self, words_buf: np.ndarray, lens: np.ndarray):
         """Ragged distinct words -> (ids_flat int32, ids_counts int64) via
         the packed device merge.  Pure device + numpy work — safe to run
-        off the main thread (no native shared-cache access)."""
+        off the main thread (no native shared-cache access); fills are
+        serialized process-wide (see _device_lock)."""
+        with _get_device_lock():
+            return self._encode_words_packed_locked(words_buf, lens)
+
+    def _encode_words_packed_locked(self, words_buf, lens):
         n = len(lens)
         offs = np.zeros(n + 1, np.int64)
         np.cumsum(lens, out=offs[1:])

@@ -249,7 +249,11 @@ class Tokenizer:
 
     def _get_word_path(self):
         """Device word-path encoder (TPU merges distinct uncached words,
-        native runtime assembles); None if ineligible."""
+        native runtime assembles); None if ineligible.  Shares one
+        instance (and so one jitted fill fn and its compile cache) with
+        the auto async path — two distinct jit closures over the same
+        tables would compile the same HLO twice, concurrently, which the
+        remote-compile backend does not tolerate."""
         if not self.use_device:
             return None
         if not getattr(self, "_word_path_dirty", True):
@@ -257,6 +261,11 @@ class Tokenizer:
         self._word_path_dirty = False
         self._word_path = None
         try:
+            auto = getattr(self, "_auto_wp", None)
+            if auto is not None:
+                _ = auto.pipeline  # force-build: eligibility contract
+                self._word_path = auto
+                return self._word_path
             from .ops.wordpath import build_word_encoder
 
             self._word_path = build_word_encoder(self)
@@ -288,6 +297,14 @@ class Tokenizer:
             native = self._get_native_encoder()
             if native is None:
                 return None
+            if (
+                not getattr(self, "_word_path_dirty", True)
+                and self._word_path is not None
+            ):
+                # an explicit word path already exists: share it (one
+                # jitted fill fn per tokenizer)
+                self._auto_wp = self._word_path
+                return self._auto_wp
             from .ops.wordpath import DeviceWordEncoder
 
             # lazy pipeline: the device-table build (seconds) happens on

@@ -394,3 +394,41 @@ def test_async_auto_fill_exact(monkeypatch):
     assert wp._steady
     novel = ["qqqzz wwxx yyvv 998877"]
     assert tok.encode_batch(novel) == [tok._encode_host(t) for t in novel]
+
+
+def test_packed_device_merge_full_byte_range():
+    """Device fills must be exact for words spanning the full byte range
+    (multi-byte UTF-8, high bytes, OOV bytes) — what multilingual corpora
+    dispatch to the chip."""
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    wp = tok._get_word_path()
+    rng = np.random.RandomState(9)
+    words = []
+    # UTF-8 words from real multilingual strings (as pre-split units)
+    for s in ["日本語", "Ελληνικά", "straße", "héllo", "中文字", "é́"]:
+        words.append(s.encode("utf-8"))
+    # plus raw high-byte / mixed-byte fuzz (the merge operates on bytes;
+    # any byte word the scanner could emit must merge exactly)
+    for _ in range(200):
+        n = rng.randint(1, 24)
+        words.append(bytes(rng.randint(1, 256, size=n).astype(np.uint8)))
+    buf = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.array([len(w) for w in words], np.int32)
+    ids, counts = wp._encode_words_packed(buf, lens)
+    bounds = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    assert len(counts) == len(words)
+    # oracle: the single-word merge loop (seed per byte, OOV dropped,
+    # leftmost-lowest-rank) — core/bpe semantics on raw bytes
+    from complexity_tokenizer_tpu.utils.bytelevel import bytes_to_unicode
+
+    enc_map = bytes_to_unicode()
+    for w, word in enumerate(words):
+        text = "".join(enc_map[b] for b in word)
+        exp = tok.bpe.encode(text)
+        got = ids[bounds[w] : bounds[w + 1]].tolist()
+        assert got == exp, (word, exp, got)
