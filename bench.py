@@ -182,7 +182,7 @@ def _device_detail(tok, texts, detail):
     # merge kernel on a synthetic novel-word set of known size instead so
     # the number is a fresh steady-state rate every round
     rng = np.random.RandomState(0)
-    n_words = 12 * 1024  # fills the [1024, 128] packed bucket
+    n_words = 12 * 4096  # fills the [4096, 128] packed bucket
     syn_lens = rng.randint(3, 14, size=n_words).astype(np.int32)
     syn_buf = (rng.randint(0, 26, size=int(syn_lens.sum())) + 97).astype(
         np.uint8

@@ -176,6 +176,15 @@ class DeviceWordEncoder:
         p = self.pipeline
         byte_token_table = p.byte_token_table
 
+        # ids (and the -1 tombstone) fit int16 when every producible id —
+        # byte-seed ids and minted merge ids — is < 32768: halves the D2H
+        # volume, which dominates large fills on remote-dispatch links
+        # (PROFILE.md)
+        max_id = int(byte_token_table.max())
+        if p.rows.size:
+            max_id = max(max_id, int(p.rows[:, 3].max()))
+        narrow = max_id < 32767
+
         def fn(bytes_bw, marks):
             B, W = bytes_bw.shape
             valid = marks > 0
@@ -187,7 +196,7 @@ class DeviceWordEncoder:
             merged, _counts = merge_words(
                 tokens, wid, p.disp, p.rows, p.table_size, p.n_buckets
             )
-            return merged
+            return merged.astype(jnp.int16) if narrow else merged
 
         return jax.jit(fn)
 

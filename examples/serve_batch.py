@@ -24,9 +24,17 @@ def main(path: str) -> None:
     ] * 256
 
     # 1. zero-copy ragged: (flat int32 ids, int64 row offsets) — the
-    # framework-native form; row i is flat[offs[i]:offs[i+1]]
+    # framework-native form; row i is flat[offs[i]:offs[i+1]].
+    # On a TPU host this default path also launches asynchronous device
+    # fills: the chip batch-merges every distinct new word in the
+    # background while the native runtime assembles from its caches, so
+    # steady-state serving runs "chip merges novel words, host assembles".
     flat, offs = tok.encode_batch_ragged(batch)
     print(f"ragged: {len(flat)} ids over {len(offs) - 1} rows")
+    wp = tok._auto_word_path()
+    if wp is not None:
+        wp.drain_async(timeout=600)  # let the demo's fill land
+        print("auto device fill active (word caches chip-computed)")
 
     # 2. transformers-style call (columnar fast path): lists / BatchEncoding
     enc = tok(batch, padding="longest", truncation=True, max_length=128)
