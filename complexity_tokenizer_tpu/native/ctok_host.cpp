@@ -374,6 +374,13 @@ struct Ctx {
     Arena<int32_t> out_arena;
     Arena<int32_t> counts_arena;
     Arena<int64_t> offsets_arena;
+    // Serializes every cache-touching operation (encodes mutate their
+    // per-thread caches and read the shared ones; cache_insert_batch
+    // rehashes the shared ones), so concurrent Python threads — e.g. a
+    // background device-fill harvest landing while another thread
+    // encodes — can never interleave a rehash with a probe.  Never held
+    // while (re)acquiring the GIL.
+    std::mutex work_mu;
 };
 
 inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
@@ -1175,6 +1182,7 @@ void ctok_free(void* p) { delete (Ctx*)p; }
 // is an upper bound).  Returns the id count.
 int64_t ctok_encode(void* p, const uint8_t* data, int64_t n, int32_t* out) {
     Ctx* c = (Ctx*)p;
+    std::lock_guard<std::mutex> lk(c->work_mu);
     std::vector<int32_t> scratch;
     scratch.reserve(64);
     return encode_text(c, &c->caches[0], &c->short_caches[0], data, n, out, scratch);
@@ -1188,6 +1196,7 @@ void ctok_encode_batch(void* p, const uint8_t* joined, const int64_t* offsets,
                        int64_t n_texts, int32_t* out, int32_t* out_counts,
                        int32_t n_threads) {
     Ctx* c = (Ctx*)p;
+    std::lock_guard<std::mutex> lk(c->work_mu);
     if (n_threads < 1) n_threads = 1;
     if (n_threads > kMaxThreads) n_threads = kMaxThreads;
     if (n_texts < n_threads * 4) n_threads = 1;
@@ -1295,6 +1304,7 @@ int64_t ctok_collect_miss_words(void* p, const uint8_t* joined,
                                 int32_t* out_lens, int64_t cap_words,
                                 int64_t cap_bytes) {
     Ctx* c = (Ctx*)p;
+    std::lock_guard<std::mutex> lk(c->work_mu);
     // local seen-set for this scan
     ShortCache seen_short;
     WordCache seen_long;
@@ -1351,6 +1361,7 @@ void ctok_cache_insert_batch(void* p, const uint8_t* words_buf,
                              const int32_t* ids_buf,
                              const int64_t* ids_offsets) {
     Ctx* c = (Ctx*)p;
+    std::lock_guard<std::mutex> lk(c->work_mu);
     for (int64_t w = 0; w < n_words; ++w) {
         const uint8_t* wp = words_buf + word_offsets[w];
         int64_t wlen = word_offsets[w + 1] - word_offsets[w];
@@ -1443,6 +1454,7 @@ static int encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
                               int32_t* out, int32_t* out_counts,
                               int64_t* thread_base, int64_t* thread_ids,
                               int n_threads) {
+    std::lock_guard<std::mutex> lk(c->work_mu);
     if (n_threads < 1) n_threads = 1;
     if (n_threads > kMaxThreads) n_threads = kMaxThreads;
     if (n_texts < n_threads * 4) n_threads = 1;
@@ -1513,6 +1525,7 @@ void ctok_encode_batch_gated(void* p, const uint8_t* joined,
                              int32_t* out, int32_t* out_counts,
                              int32_t n_threads) {
     Ctx* c = (Ctx*)p;
+    std::lock_guard<std::mutex> lk(c->work_mu);
     if (n_threads < 1) n_threads = 1;
     if (n_threads > kMaxThreads) n_threads = kMaxThreads;
     if (n_texts < n_threads * 4) n_threads = 1;
@@ -1990,8 +2003,12 @@ static PyObject* ctok_py_encode_one(PyObject*, PyObject* args) {
     }
     std::vector<int32_t> scratch;
     scratch.reserve(64);
-    int64_t m = encode_text(c, &c->caches[0], &c->short_caches[0], data, n,
-                            out, scratch);
+    int64_t m;
+    {
+        std::lock_guard<std::mutex> lk(c->work_mu);
+        m = encode_text(c, &c->caches[0], &c->short_caches[0], data, n, out,
+                        scratch);
+    }
     PyObject* lst = PyList_New((Py_ssize_t)m);
     if (!lst) return nullptr;
     for (int64_t i = 0; i < m; ++i) {

@@ -265,3 +265,59 @@ def test_set_decoder_invalidates_native_decoder():
     tok.set_decoder(None)
     exp = [tok._decode_impl(r, False, True) for r in ids]
     assert tok.decode_batch(ids) == exp
+
+
+def test_concurrent_encode_and_cache_insert_threads():
+    """Serving pattern: several Python threads batch-encoding while device
+    fills land (cache_insert rehashing the shared caches).  Every result
+    must stay exact — the native work_mu serializes cache access."""
+    import threading
+
+    from helpers import conformance_corpus, trained_tokenizer
+
+    tok = trained_tokenizer()
+    ne = tok._get_native_encoder()
+    if ne is None:
+        pytest.skip("native runtime unavailable")
+    texts = conformance_corpus() * 4
+    normalized = [tok.normalizer.normalize(t) for t in texts]
+    data = tok._prepare_bytes(normalized)
+    host = [tok._encode_host(t, already_normalized=True) for t in normalized]
+    # novel word stream to keep cache_insert rehashing mid-run
+    rng = np.random.RandomState(5)
+    errors: list = []
+
+    def encoder():
+        try:
+            for _ in range(30):
+                assert ne.encode_batch(data) == host
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def inserter():
+        try:
+            for k in range(60):
+                n = 64
+                lens = rng.randint(1, 17, size=n).astype(np.int32)
+                buf = (rng.randint(0, 26, size=int(lens.sum())) + 97).astype(
+                    np.uint8
+                )
+                rows = []
+                off = 0
+                for ln in lens:
+                    w = buf[off : off + ln].tobytes()
+                    rows.append(ne.encode(w))
+                    off += ln
+                ne.cache_insert(buf, lens, rows)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=encoder) for _ in range(2)] + [
+        threading.Thread(target=inserter)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert ne.encode_batch(data) == host
