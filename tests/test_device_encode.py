@@ -432,3 +432,47 @@ def test_packed_device_merge_full_byte_range():
         exp = tok.bpe.encode(text)
         got = ids[bounds[w] : bounds[w + 1]].tolist()
         assert got == exp, (word, exp, got)
+
+
+def test_packed_device_merge_large_ids():
+    """Vocabs with ids >= 32768 must take the int32 fill output (the
+    int16 narrowing is gated on the max producible id)."""
+    import json
+
+    from complexity_tokenizer_tpu.tokenizer import Tokenizer
+    from complexity_tokenizer_tpu.utils.bytelevel import bytes_to_unicode
+
+    enc = bytes_to_unicode()
+    base = 40_000  # every id above the int16 range
+    vocab = {enc[b]: base + b for b in range(256)}
+    vocab[enc[ord("a")] + enc[ord("b")]] = base + 300
+    vocab[enc[ord("a")] + enc[ord("b")] + enc[ord("c")]] = base + 301
+    j = {
+        "model": {
+            "type": "BPE",
+            "vocab": vocab,
+            "merges": [
+                f"{enc[ord('a')]} {enc[ord('b')]}",
+                f"{enc[ord('a')] + enc[ord('b')]} {enc[ord('c')]}",
+            ],
+        },
+        "added_tokens": [],
+        "normalizer": {"type": "NFC"},
+        "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": False},
+        "decoder": {"type": "ByteLevel"},
+    }
+    tok = Tokenizer.from_str(json.dumps(j))
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    wp = tok._get_word_path()
+    assert wp is not None
+    words = [b"abc", b"ab", b"abcabc", b"xyz", b"a"]
+    buf = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.array([len(w) for w in words], np.int32)
+    ids, counts = wp._encode_words_packed(buf, lens)
+    assert ids.dtype == np.int32 and ids.min() >= 32768
+    bounds = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    for w, word in enumerate(words):
+        exp = wp.native.encode(word)
+        assert ids[bounds[w] : bounds[w + 1]].tolist() == exp, word
