@@ -265,9 +265,18 @@ class ColumnarBatchEncoding(BatchEncoding):
             f = np.asarray(self._final, np.int64)[:, None]
             mask = pos >= f - t if self._pad_left else pos < t
             return self._maybe_tensor(mask.astype(np.int32))
-        # .tolist() first: Python-int arithmetic in the comprehension is
-        # several times faster than numpy scalar ops per row.  Fresh lists
-        # on every access — callers may mutate the returned rows.
+        # fresh lists on every access — callers may mutate the returned
+        # rows.  The C mask_rows builds them from interned 0/1 ints in one
+        # pass; the Python comprehension is the no-extension fallback.
+        from .native import load_ext
+
+        ext = load_ext()
+        if ext is not None and hasattr(ext, "mask_rows"):
+            return ext.mask_rows(
+                np.ascontiguousarray(self._t, np.int64),
+                np.ascontiguousarray(self._final, np.int64),
+                int(self._pad_left),
+            )
         ts = np.asarray(self._t).tolist()
         fs = np.asarray(self._final).tolist()
         if self._pad_left:

@@ -2316,10 +2316,66 @@ static PyObject* ctok_py_frame_matrix(PyObject*, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+// mask_rows(t int64[n], final int64[n], pad_left) -> list[list[int]]:
+// attention-mask rows ([1]*t padded with 0 to final, on pad_left's side)
+// built from interned 0/1 ints in one pass — the list-mode twin of the
+// tensor-mode arange comparison.
+static PyObject* ctok_py_mask_rows(PyObject*, PyObject* args) {
+    PyObject *t_obj, *f_obj;
+    int pad_left;
+    if (!PyArg_ParseTuple(args, "OOi", &t_obj, &f_obj, &pad_left))
+        return nullptr;
+    Py_buffer t_buf, f_buf;
+    if (PyObject_GetBuffer(t_obj, &t_buf, PyBUF_C_CONTIGUOUS) < 0)
+        return nullptr;
+    if (PyObject_GetBuffer(f_obj, &f_buf, PyBUF_C_CONTIGUOUS) < 0) {
+        PyBuffer_Release(&t_buf);
+        return nullptr;
+    }
+    const int64_t* ts = (const int64_t*)t_buf.buf;
+    const int64_t* fs = (const int64_t*)f_buf.buf;
+    Py_ssize_t n = t_buf.len / (Py_ssize_t)sizeof(int64_t);
+    PyObject* rows = nullptr;
+    bool ok = f_buf.len == t_buf.len;
+    if (ok) rows = PyList_New(n);
+    PyObject* one = cached_long(1);
+    PyObject* zero = cached_long(0);
+    if (rows && one && zero) {
+        for (Py_ssize_t i = 0; i < n && ok; ++i) {
+            int64_t t = ts[i], f = fs[i];
+            if (t < 0 || f < t) { ok = false; break; }
+            PyObject* row = PyList_New((Py_ssize_t)f);
+            if (!row) { ok = false; break; }
+            int64_t ones_at = pad_left ? f - t : 0;
+            for (int64_t k = 0; k < f; ++k) {
+                PyObject* v = (k >= ones_at && k < ones_at + t) ? one : zero;
+                Py_INCREF(v);
+                PyList_SET_ITEM(row, (Py_ssize_t)k, v);
+            }
+            PyList_SET_ITEM(rows, i, row);
+        }
+    } else {
+        ok = false;
+    }
+    Py_XDECREF(one);
+    Py_XDECREF(zero);
+    PyBuffer_Release(&t_buf);
+    PyBuffer_Release(&f_buf);
+    if (!ok) {
+        Py_XDECREF(rows);
+        if (!PyErr_Occurred())
+            PyErr_SetString(PyExc_ValueError, "inconsistent mask_rows input");
+        return nullptr;
+    }
+    return rows;
+}
+
 static PyMethodDef CtokExtMethods[] = {
     {"frame_matrix", ctok_py_frame_matrix, METH_VARARGS,
      "frame_matrix(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
      "pad_left, out) -> None (fills the [B, L] int32 buffer in place)"},
+    {"mask_rows", ctok_py_mask_rows, METH_VARARGS,
+     "mask_rows(t int64[n], final int64[n], pad_left) -> list[list[int]]"},
     {"frame_rows", ctok_py_frame_rows, METH_VARARGS,
      "frame_rows(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
      "pad_left) -> list[list[int]]"},
