@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 
 from .batch_encoding import BatchEncoding
@@ -39,6 +40,12 @@ from .hf.config import PaddingConfig, TruncationConfig
 from .utils.unicode_tables import whitespace_set
 
 __all__ = ["Tokenizer", "Encoding", "BatchEncoding", "AddedTokenConfig"]
+
+# Guards device-pipeline builds: the background auto-fill thread builds
+# lazily and concurrent callers must see the finished build, never a
+# mid-build None.  Builds are rare (per table change), so one process-wide
+# lock is fine.
+_pipeline_build_lock = threading.Lock()
 
 
 class AddedTokenConfig:
@@ -218,19 +225,24 @@ class Tokenizer:
     # ------------------------------------------------------------------
 
     def _get_pipeline(self):
-        """Build (or reuse) the device encode pipeline; None if ineligible."""
+        """Build (or reuse) the device encode pipeline; None if ineligible.
+        Lock-guarded: the background auto-fill thread builds it lazily, and
+        a concurrent caller must get the finished build, not a mid-build
+        None."""
         if not self.use_device:
             return None
         if not self._pipeline_dirty:
             return self._pipeline
-        self._pipeline_dirty = False
-        self._pipeline = None
-        try:
-            from .ops.pipeline import build_encode_pipeline
+        with _pipeline_build_lock:
+            if not self._pipeline_dirty:
+                return self._pipeline
+            try:
+                from .ops.pipeline import build_encode_pipeline
 
-            self._pipeline = build_encode_pipeline(self)
-        except Exception:
-            self._pipeline = None
+                self._pipeline = build_encode_pipeline(self)
+            except Exception:
+                self._pipeline = None
+            self._pipeline_dirty = False
         return self._pipeline
 
     def _invalidate_pipeline(self):
