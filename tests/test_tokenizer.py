@@ -339,3 +339,22 @@ def test_call_no_special_tokens_branch_parity():
     for enc, t in zip(be.encodings(), texts):
         assert enc.ids == tok.encode(t)
         assert enc.offsets == []
+
+
+def test_encode_batch_to_encoding_matches_single():
+    """The batch Encoding path (native fast construction, deferred aux)
+    must be field-identical to per-text encode_to_encoding."""
+    from helpers import conformance_corpus, trained_tokenizer
+
+    tok = trained_tokenizer()
+    texts = conformance_corpus()
+    batch = tok.encode_batch_to_encoding(texts)
+    for t, b in zip(texts, batch):
+        a = tok.encode_to_encoding(t)
+        assert a.ids == b.ids, repr(t)
+        assert a.tokens == b.tokens, repr(t)
+        assert a.attention_mask == b.attention_mask
+        assert a.type_ids == b.type_ids
+        assert a.special_tokens_mask == b.special_tokens_mask
+        assert a.offsets == b.offsets, repr(t)
+        assert a.word_ids == b.word_ids, repr(t)
