@@ -280,6 +280,20 @@ def main():
         # should have no uncached distinct words left
         detail["auto_fill_complete"] = bool(_auto_filled(tok, texts))
 
+    # BASELINE config 1: 1K short ASCII texts — the reference README's
+    # direct comparison row ("Encode 1K texts ~5 ms", README.md:66-72)
+    short_texts = [t[:60] for t in texts[:1000]]
+    tok.encode_batch(short_texts)
+    detail["encode_1k_short_ms"] = round(
+        _time_best(lambda: tok.encode_batch(short_texts), n=10) * 1e3, 2
+    )
+    flat1k, offs1k = tok.encode_batch_ragged(short_texts)
+    detail["decode_1k_ms"] = round(
+        _time_best(lambda: tok.decode_batch_ragged(flat1k, offs1k), n=10)
+        * 1e3,
+        2,
+    )
+
     # list-output API (reference-compatible return type)
     best_lists = _time_best(lambda: tok.encode_batch(texts), n=3)
     detail["list_output_bytes_per_s"] = round(total_bytes / best_lists, 1)

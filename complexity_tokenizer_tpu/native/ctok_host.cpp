@@ -1209,7 +1209,11 @@ void ctok_encode_batch(void* p, const uint8_t* joined, const int64_t* offsets,
         // balanced partition by byte volume
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
-        int64_t hi_b = total * (tid + 1) / n_threads;
+        // last thread includes offset == total: zero-length
+        // trailing rows (a == total) must be assigned
+        int64_t hi_b = tid == n_threads - 1
+                           ? total + 1
+                           : total * (tid + 1) / n_threads;
         for (int64_t i = 0; i < n_texts; ++i) {
             int64_t a = offsets[i];
             if (a < lo_b || a >= hi_b) continue;
@@ -1466,7 +1470,11 @@ static int encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
         WordCache* cache = &c->caches[tid];
         ShortCache* sc = &c->short_caches[tid];
         int64_t lo_b = total * tid / n_threads;
-        int64_t hi_b = total * (tid + 1) / n_threads;
+        // last thread includes offset == total: zero-length
+        // trailing rows (a == total) must be assigned
+        int64_t hi_b = tid == n_threads - 1
+                           ? total + 1
+                           : total * (tid + 1) / n_threads;
         int64_t base = -1;
         int64_t pos = 0;
         for (int64_t i = 0; i < n_texts; ++i) {
@@ -1505,7 +1513,11 @@ void ctok_match_any(const uint8_t* joined, const int64_t* offsets,
     auto worker = [&](int tid) {
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
-        int64_t hi_b = total * (tid + 1) / n_threads;
+        // last thread includes offset == total: zero-length
+        // trailing rows (a == total) must be assigned
+        int64_t hi_b = tid == n_threads - 1
+                           ? total + 1
+                           : total * (tid + 1) / n_threads;
         for (int64_t i = 0; i < n_texts; ++i) {
             int64_t a = offsets[i];
             if (a < lo_b || a >= hi_b) continue;
@@ -1537,7 +1549,11 @@ void ctok_encode_batch_gated(void* p, const uint8_t* joined,
         ShortCache* sc = &c->short_caches[tid];
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
-        int64_t hi_b = total * (tid + 1) / n_threads;
+        // last thread includes offset == total: zero-length
+        // trailing rows (a == total) must be assigned
+        int64_t hi_b = tid == n_threads - 1
+                           ? total + 1
+                           : total * (tid + 1) / n_threads;
         for (int64_t i = 0; i < n_texts; ++i) {
             int64_t a = offsets[i];
             if (a < lo_b || a >= hi_b) continue;
@@ -1685,6 +1701,9 @@ static PyObject* ctok_py_encode_ragged(PyObject*, PyObject* args) {
     int64_t total = offsets[n];
     int32_t* out = c->out_arena.ensure((size_t)(total > 0 ? total : 1));
     int32_t* counts = c->counts_arena.ensure((size_t)(n > 0 ? n : 1));
+    // the arena is reused across calls: zero counts so a row the
+    // partition could ever miss reads as empty, never as stale garbage
+    std::memset(counts, 0, (size_t)(n > 0 ? n : 1) * sizeof(int32_t));
     int64_t thread_base[kMaxThreads];
     int64_t thread_ids[kMaxThreads];
     int n_used;
@@ -1896,7 +1915,11 @@ static PyObject* ctok_py_count_words(PyObject*, PyObject* args) {
             auto& m = maps[(size_t)tid];
             m.reserve(1 << 14);
             int64_t lo_b = total * tid / n_threads;
-            int64_t hi_b = total * (tid + 1) / n_threads;
+            // last thread includes offset == total: zero-length
+            // trailing rows (a == total) must be assigned
+            int64_t hi_b = tid == n_threads - 1
+                               ? total + 1
+                               : total * (tid + 1) / n_threads;
             for (Py_ssize_t t = 0; t < n; ++t) {
                 int64_t a = offsets[(size_t)t];
                 if (a < lo_b || a >= hi_b) continue;

@@ -321,3 +321,31 @@ def test_concurrent_encode_and_cache_insert_threads():
         t.join()
     assert not errors, errors
     assert ne.encode_batch(data) == host
+
+
+def test_trailing_empty_rows_in_batch():
+    """Zero-length texts at the very end of a batch sit at byte offset ==
+    total and must still be assigned to a partition shard (they were once
+    skipped, reading stale arena memory as their ids)."""
+    from helpers import conformance_corpus, trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    base = conformance_corpus()
+    for tail in (1, 2, 5):
+        texts = base + [""] * tail
+        host = [tok._encode_host(t) for t in texts]
+        # repeat: the arena must hold stale counts from the prior call
+        for _ in range(3):
+            assert tok.encode_batch(texts) == host
+            flat, offs = tok.encode_batch_ragged(texts)
+            got = [
+                flat[offs[i] : offs[i + 1]].tolist()
+                for i in range(len(texts))
+            ]
+            assert got == host
+    # empties interleaved and at the head too
+    texts = [""] + base[:3] + ["", ""] + base[3:6] + [""]
+    host = [tok._encode_host(t) for t in texts]
+    assert tok.encode_batch(texts) == host
