@@ -12,6 +12,9 @@
 // Python oracle in tests/test_native.py.
 
 #include <condition_variable>
+#ifndef _WIN32
+#include <pthread.h>
+#endif
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -113,21 +116,42 @@ class ThreadPool {
     bool stop_ = false;
 };
 
+// The pool is heap-allocated and intentionally leaked: parked raw C++
+// threads at process exit are harmless (nothing force-unwinds them), and
+// skipping static destruction avoids teardown-order hazards.  A forked
+// child inherits the bookkeeping but none of the worker threads, so an
+// atfork handler abandons the old pool and starts fresh — otherwise any
+// multi-threaded native call in the child (fork-based multiprocessing is
+// the Linux default) would wait forever on workers that do not exist.
+ThreadPool* g_pool = nullptr;
+
 ThreadPool& pool() {
-    static ThreadPool p;
-    return p;
+    static std::once_flag once;
+    std::call_once(once, [] {
+        g_pool = new ThreadPool();
+#ifndef _WIN32
+        pthread_atfork(nullptr, nullptr,
+                       [] { g_pool = new ThreadPool(); });
+#endif
+    });
+    return *g_pool;
 }
 
 // Reusable uninitialized POD buffer: new[] without value-init, grown
 // geometrically and kept across calls — per-call fresh mallocs of
 // multi-MB scratch cost more in page faults than the encode itself.
+// One outlier batch must not pin its high-water mark for the context
+// lifetime, so a large arena shrinks once steady demand drops well
+// below it.
 template <typename T>
 struct Arena {
+    static constexpr size_t kShrinkBytes = 64u << 20;  // 64 MB
     std::unique_ptr<T[]> data;
     size_t cap = 0;
     T* ensure(size_t n) {
-        if (n > cap) {
-            size_t want = cap ? cap : 4096;
+        if (n > cap ||
+            (cap > kShrinkBytes / sizeof(T) && n < cap / 4)) {
+            size_t want = 4096;
             while (want < n) want *= 2;
             data.reset(new T[want]);
             cap = want;

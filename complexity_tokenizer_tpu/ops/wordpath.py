@@ -120,6 +120,9 @@ class DeviceWordEncoder:
     # below this many misses the host loop is cheaper than a device round
     # trip; the async path leaves them to the native tier
     min_async_fill = 64
+    # transient device errors tolerated before the auto-fill is disabled
+    # for this tokenizer (each one is logged; exactness is never affected)
+    max_fill_failures = 3
 
     def __init__(self, pipeline, native):
         # ``pipeline`` may be the built device pipeline or a zero-arg
@@ -139,9 +142,13 @@ class DeviceWordEncoder:
         self._batches_since_sweep = 0
         # async state (auto mode): _pending = (holder, words_buf, lens);
         # the fill runs on a daemon thread (a non-daemon executor would
-        # block interpreter exit on an in-flight first compile)
+        # block interpreter exit on an in-flight first compile).
+        # _async_mu guards _pending/_steady/_batches_since_sweep against
+        # concurrent serving threads; it is never held while blocking.
+        self._async_mu = threading.Lock()
         self._pending = None
         self._device_broken = False
+        self._fill_failures = 0
 
     @property
     def pipeline(self):
@@ -348,47 +355,86 @@ class DeviceWordEncoder:
     # async fill (backend="auto" on TPU)
     # ------------------------------------------------------------------
 
+    def _harvest(self, pending) -> int:
+        """Consume a FINISHED fill: record errors (disabling the device
+        path after ``max_fill_failures``, with a logged warning — never
+        silently) or insert the results into the shared caches.  Caller
+        must have detached ``pending`` from ``self._pending`` under
+        ``_async_mu``.  Returns words inserted."""
+        holder, wb, ls = pending
+        if holder.error is not None:
+            self._fill_failures += 1
+            import logging
+
+            if self._fill_failures >= self.max_fill_failures:
+                self._device_broken = True
+                logging.getLogger(__name__).warning(
+                    "device word fill failed %d times; disabling the TPU "
+                    "auto-fill for this tokenizer (host tier continues, "
+                    "results unaffected). Last error: %r",
+                    self._fill_failures,
+                    holder.error,
+                )
+            else:
+                logging.getLogger(__name__).warning(
+                    "device word fill failed (%d/%d before disable): %r",
+                    self._fill_failures,
+                    self.max_fill_failures,
+                    holder.error,
+                )
+            return 0
+        ids_flat, counts = holder.result
+        n = len(counts)
+        self.native.cache_insert_flat(
+            wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
+        )
+        return n
+
     def maybe_fill_async(self, data_fn) -> None:
         """Non-blocking fill hook for the auto path, called at the top of
-        a batch encode on the owning thread.  Harvests a finished device
-        fill into the shared caches (main-thread insert), else launches a
-        new fill when a scan is due.  ``data_fn`` lazily materializes the
-        corpus byte strings (only invoked when a scan actually runs)."""
+        a batch encode on the calling thread.  Harvests a finished device
+        fill into the shared caches (calling-thread insert), else launches
+        a new fill when a scan is due.  ``data_fn`` lazily materializes
+        the corpus byte strings (only invoked when a scan actually runs).
+        Safe under concurrent callers: all pending/steady state changes
+        happen under ``_async_mu`` (never held while blocking)."""
         if self._device_broken:
             return
-        if self._pending is not None:
-            holder, wb, ls = self._pending
-            if not holder.done.is_set():
+        with self._async_mu:
+            pending = self._pending
+            if pending is not None:
+                if not pending[0].done.is_set():
+                    return
+                self._pending = None
+            elif (
+                self._steady
+                and self._batches_since_sweep < self.sweep_interval
+            ):
+                self._batches_since_sweep += 1
                 return
-            self._pending = None
-            if holder.error is not None:
-                self._device_broken = True
-                return
-            ids_flat, counts = holder.result
-            n = len(counts)
-            self.native.cache_insert_flat(
-                wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
-            )
-            return
-        if self._steady and self._batches_since_sweep < self.sweep_interval:
-            self._batches_since_sweep += 1
+        if pending is not None:
+            self._harvest(pending)
             return
         words_buf, lens = self.native.collect_miss_words(data_fn(), _WORD_W)
         n = len(lens)
-        self._batches_since_sweep = 0
-        self._steady = n < self.min_async_fill
-        if n < self.min_async_fill:
-            return  # host merges + caches the stragglers
-        if n > self.fill_cap:
-            n = self.fill_cap
-            lens = lens[:n]
-            words_buf = words_buf[: int(np.sum(lens))]
-        holder = _FillResult()
+        with self._async_mu:
+            self._batches_since_sweep = 0
+            self._steady = n < self.min_async_fill
+            if n < self.min_async_fill:
+                return  # host merges + caches the stragglers
+            if self._pending is not None:
+                return  # another caller launched meanwhile
+            if n > self.fill_cap:
+                n = self.fill_cap
+                lens = lens[:n]
+                words_buf = words_buf[: int(np.sum(lens))]
+            holder = _FillResult()
+            self._pending = (holder, words_buf, lens)
 
         def _run():
             try:
                 holder.result = self._encode_words_packed(words_buf, lens)
-            except BaseException as e:  # noqa: BLE001 — recorded, not raised
+            except Exception as e:  # device errors recorded, not raised
                 holder.error = e
             finally:
                 holder.done.set()
@@ -400,26 +446,23 @@ class DeviceWordEncoder:
         threading.Thread(
             target=_run, name="ctok-devfill", daemon=True
         ).start()
-        self._pending = (holder, words_buf, lens)
 
     def drain_async(self, timeout: float | None = None) -> int:
         """Block until an in-flight async fill lands in the caches (for
-        benches/tests).  Returns the number of words inserted."""
-        if self._pending is None:
+        benches/tests).  Returns the number of words inserted.  Waits
+        WITHOUT holding ``_async_mu`` so concurrent batch encodes never
+        stall behind a long compile."""
+        with self._async_mu:
+            pending = self._pending
+        if pending is None:
             return 0
-        holder, wb, ls = self._pending
-        if not holder.done.wait(timeout):
+        if not pending[0].done.wait(timeout):
             return 0
-        self._pending = None
-        if holder.error is not None:
-            self._device_broken = True
-            return 0
-        ids_flat, counts = holder.result
-        n = len(counts)
-        self.native.cache_insert_flat(
-            wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
-        )
-        return n
+        with self._async_mu:
+            if self._pending is not pending:
+                return 0  # another thread harvested it
+            self._pending = None
+        return self._harvest(pending)
 
 
 def build_word_encoder(tokenizer) -> DeviceWordEncoder | None:
