@@ -150,11 +150,54 @@ def _time_best(fn, n=5):
     return best
 
 
-def _drain_auto(tok, timeout=900.0):
-    """Let an in-flight auto device fill land so timed passes are steady."""
+# Wall budget for device-BLOCKING waits (sync fills, drains, the chip
+# measurement).  The remote compile service's latency is a lottery — from
+# ~2 s (warm cache) to many minutes (cold cache + busy service) — and the
+# bench must always print its line in bounded time.  Anything that
+# exceeds the remaining budget is skipped with an honest device_error /
+# device_busy marker; nothing is backfilled.  The async auto fill itself
+# is non-blocking by design and needs no budget.
+_DEVICE_BUDGET_S = 420.0
+_budget_t0 = time.monotonic()
+
+
+def _budget_left() -> float:
+    return max(0.0, _DEVICE_BUDGET_S - (time.monotonic() - _budget_t0))
+
+
+def _budgeted(fn, seconds):
+    """Run fn() on a daemon thread with a wall timeout.  Returns
+    (result, error); on timeout the thread is abandoned (the bench exits
+    via os._exit, so a stuck remote compile can never wedge the run)."""
+    from threading import Thread
+
+    box = {}
+
+    def run():
+        try:
+            box["r"] = fn()
+        except Exception as e:  # pragma: no cover
+            box["e"] = e
+
+    t = Thread(target=run, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        return None, TimeoutError(f"exceeded {seconds:.0f}s device budget")
+    if "e" in box:
+        return None, box["e"]
+    return box.get("r"), None
+
+
+def _drain_auto(tok, timeout=None):
+    """Let an in-flight auto device fill land so timed passes are steady.
+    Bounded by the device budget — an unlanded fill only means the word
+    caches stay host-filled (results identical)."""
     wp = tok._auto_word_path()
     if wp is not None:
-        wp.drain_async(timeout=timeout)
+        wp.drain_async(
+            timeout=min(timeout or _DEVICE_BUDGET_S, _budget_left())
+        )
     return wp
 
 
@@ -233,11 +276,14 @@ def main():
     # served through chip-computed cache entries
     wp_sync = tok._get_word_path()
     if wp_sync is not None:
-        try:
-            mdata = tok._prepare_bytes(tok._normalize_batch(multi))
-            detail["device_multi_words_filled"] = wp_sync.fill_caches(mdata)
-        except Exception as e:  # pragma: no cover
-            detail["device_error"] = str(e)[:200]
+        mdata = tok._prepare_bytes(tok._normalize_batch(multi))
+        n_filled, err = _budgeted(
+            lambda: wp_sync.fill_caches(mdata), _budget_left()
+        )
+        if err is None:
+            detail["device_multi_words_filled"] = n_filled
+        else:
+            detail["device_multi_fill_error"] = str(err)[:200]
     detail["multilingual_exact_match_rate"] = _exact_rate(
         tok, multi, tok.encode_batch(multi)
     )
@@ -364,10 +410,11 @@ def main():
 
     # device (TPU) tier, measured fresh in-process — the chip's own merge
     # rate on distinct novel words (what the word path dispatches)
-    try:
-        _device_detail(tok, texts, detail)
-    except Exception as e:  # pragma: no cover
-        detail["device_error"] = str(e)[:200]
+    _, err = _budgeted(
+        lambda: _device_detail(tok, texts, detail), _budget_left()
+    )
+    if err is not None:
+        detail["device_error"] = str(err)[:200]
 
     # loud conformance gate: a divergence anywhere zeroes the headline
     gates = [
@@ -395,6 +442,11 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+    # hard exit: an abandoned budgeted thread may still sit inside a slow
+    # remote compile; neither CPython finalization nor the fill-join
+    # atexit hook should wait on (or trip over) it after the line printed
+    os._exit(0)
 
 
 def _auto_filled(tok, texts) -> int:
