@@ -218,43 +218,66 @@ def _device_detail(tok, texts, detail):
     import jax
 
     detail["device_backend"] = jax.default_backend()
-    norm = tok._normalize_batch(texts)
-    data = tok._prepare_bytes(norm)
-    words_buf, lens = wp.native.collect_miss_words(data, 128)
-    # corpus words may already be cached by earlier passes; measure the
-    # merge kernel on a synthetic novel-word set of known size instead so
-    # the number is a fresh steady-state rate every round
     rng = np.random.RandomState(0)
-    n_words = 12 * 4096  # fills the [4096, 128] packed bucket
-    syn_lens = rng.randint(3, 14, size=n_words).astype(np.int32)
-    syn_buf = (rng.randint(0, 26, size=int(syn_lens.sum())) + 97).astype(
-        np.uint8
-    )
-    t0 = time.perf_counter()
-    ids, counts = wp._encode_words_packed(syn_buf, syn_lens)
-    detail["device_first_fill_s"] = round(time.perf_counter() - t0, 3)
-    detail["device_words_filled"] = int(len(counts))
-    # steady state: same shapes, fresh words (jit warm, honest run rate)
-    syn2_lens = rng.randint(3, 14, size=n_words).astype(np.int32)
-    syn2_buf = (rng.randint(0, 26, size=int(syn2_lens.sum())) + 97).astype(
-        np.uint8
-    )
-    best = _time_best(
-        lambda: wp._encode_words_packed(syn2_buf, syn2_lens), n=3
-    )
-    detail["device_merge_words_per_s"] = round(n_words / best, 1)
-    detail["device_novel_bytes_per_s"] = round(float(syn2_lens.sum()) / best, 1)
-    # exactness of the device merges vs the native host merge loop
-    offs = np.zeros(n_words + 1, np.int64)
-    np.cumsum(syn_lens, out=offs[1:])
-    bounds = np.zeros(len(counts) + 1, np.int64)
-    np.cumsum(counts, out=bounds[1:])
-    idxs = list(range(0, n_words, 97))
-    ok = 0
-    for w in idxs:
-        wb = syn_buf[offs[w] : offs[w + 1]].tobytes()
-        ok += wp.native.encode(wb) == ids[bounds[w] : bounds[w + 1]].tolist()
-    detail["device_exact_match_rate"] = ok / len(idxs)
+
+    def _measure(rows: int, keys_suffix: str):
+        # corpus words may already be cached by earlier passes; measure
+        # the merge kernel on synthetic novel words of known size so the
+        # number is a fresh steady-state rate every round
+        n_words = 12 * rows
+        syn_lens = rng.randint(3, 14, size=n_words).astype(np.int32)
+        syn_buf = (
+            rng.randint(0, 26, size=int(syn_lens.sum())) + 97
+        ).astype(np.uint8)
+        t0 = time.perf_counter()
+        ids, counts = wp._encode_words_packed(syn_buf, syn_lens)
+        detail["device_first_fill_s" + keys_suffix] = round(
+            time.perf_counter() - t0, 3
+        )
+        detail["device_words_filled" + keys_suffix] = int(len(counts))
+        # steady state: same shapes, fresh words (jit warm, honest rate)
+        syn2_lens = rng.randint(3, 14, size=n_words).astype(np.int32)
+        syn2_buf = (
+            rng.randint(0, 26, size=int(syn2_lens.sum())) + 97
+        ).astype(np.uint8)
+        best = _time_best(
+            lambda: wp._encode_words_packed(syn2_buf, syn2_lens), n=3
+        )
+        detail["device_merge_words_per_s" + keys_suffix] = round(
+            n_words / best, 1
+        )
+        detail["device_novel_bytes_per_s" + keys_suffix] = round(
+            float(syn2_lens.sum()) / best, 1
+        )
+        # exactness of the device merges vs the native host merge loop
+        offs = np.zeros(n_words + 1, np.int64)
+        np.cumsum(syn_lens, out=offs[1:])
+        bounds = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        idxs = list(range(0, n_words, 97))
+        ok = sum(
+            wp.native.encode(syn_buf[offs[w] : offs[w + 1]].tobytes())
+            == ids[bounds[w] : bounds[w + 1]].tolist()
+            for w in idxs
+        )
+        detail["device_exact_match_rate"] = ok / len(idxs)
+
+    # small bucket first — its compile is seconds even on a cold compile
+    # service, guaranteeing a fresh chip number every round; the large
+    # bucket (better dispatch amortization) upgrades the headline keys
+    # when budget remains
+    _measure(64, "_64rows")
+    if _budget_left() > 240:
+        _measure(4096, "")
+    else:
+        for k in (
+            "device_first_fill_s",
+            "device_words_filled",
+            "device_merge_words_per_s",
+            "device_novel_bytes_per_s",
+        ):
+            detail[k] = detail[k + "_64rows"]
+        detail["device_large_bucket_skipped"] = "device budget low"
 
 
 def main():
