@@ -2363,6 +2363,50 @@ static PyObject* ctok_py_frame_matrix(PyObject*, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+// split_words(ctx, text, add_prefix_space) -> bytes of int64 boundaries
+// over the (virtually prefixed) UTF-8 text: n+1 offsets, offsets[0] == 0.
+// The same GPT-2 simplified scan as the encode path, boundaries only.
+static PyObject* ctok_py_split_words(PyObject*, PyObject* args) {
+    unsigned long long addr;
+    PyObject* text_obj;
+    int aps;
+    if (!PyArg_ParseTuple(args, "KUi", &addr, &text_obj, &aps))
+        return nullptr;
+    Ctx* c = (Ctx*)(uintptr_t)addr;
+    Py_ssize_t sz;
+    const char* u = PyUnicode_AsUTF8AndSize(text_obj, &sz);
+    if (!u) return nullptr;
+    const uint8_t* data = (const uint8_t*)u;
+    int64_t n = (int64_t)sz;
+    uint8_t stack_buf[1024];
+    std::unique_ptr<uint8_t[]> heap_buf;
+    if (aps && n > 0 && data[0] != ' ') {
+        uint8_t* b;
+        if (n + 1 <= (int64_t)sizeof(stack_buf)) {
+            b = stack_buf;
+        } else {
+            heap_buf.reset(new uint8_t[(size_t)n + 1]);
+            b = heap_buf.get();
+        }
+        b[0] = ' ';
+        std::memcpy(b + 1, data, (size_t)n);
+        data = b;
+        ++n;
+    }
+    std::vector<int64_t> bounds;
+    bounds.reserve((size_t)(n / 4 + 2));
+    bounds.push_back(0);
+    int64_t i = 0;
+    while (i < n) {
+        int64_t end = word_end_at(c, data, n, i);
+        bounds.push_back(end);
+        i = end;
+    }
+    return PyBytes_FromStringAndSize(
+        (const char*)bounds.data(),
+        (Py_ssize_t)(bounds.size() * sizeof(int64_t)));
+}
+
 // mask_rows(t int64[n], final int64[n], pad_left) -> list[list[int]]:
 // attention-mask rows ([1]*t padded with 0 to final, on pad_left's side)
 // built from interned 0/1 ints in one pass — the list-mode twin of the
@@ -2421,6 +2465,9 @@ static PyMethodDef CtokExtMethods[] = {
     {"frame_matrix", ctok_py_frame_matrix, METH_VARARGS,
      "frame_matrix(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
      "pad_left, out) -> None (fills the [B, L] int32 buffer in place)"},
+    {"split_words", ctok_py_split_words, METH_VARARGS,
+     "split_words(ctx, text, add_prefix_space) -> int64 boundary bytes "
+     "over the prefixed UTF-8 text"},
     {"mask_rows", ctok_py_mask_rows, METH_VARARGS,
      "mask_rows(t int64[n], final int64[n], pad_left) -> list[list[int]]"},
     {"frame_rows", ctok_py_frame_rows, METH_VARARGS,

@@ -349,3 +349,26 @@ def test_trailing_empty_rows_in_batch():
     texts = [""] + base[:3] + ["", ""] + base[3:6] + [""]
     host = [tok._encode_host(t) for t in texts]
     assert tok.encode_batch(texts) == host
+
+
+def test_pre_tokenize_fast_matches_oracle():
+    """Native split_words + latin-1 translate must reproduce the Python
+    ByteLevel.pre_tokenize output exactly, across unicode/fuzz inputs."""
+    from helpers import conformance_corpus, trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._pre_tokenize_fast("probe") is None:
+        pytest.skip("extension surface unavailable")
+    rng = np.random.RandomState(13)
+    alphabet = list("abc ABZ '!.12\t\n") + ["é", "中", "日", "́", "\U0001f600"]
+    cases = conformance_corpus() + [
+        "", " ", "  x", "héllo wörld", "a" * 300,
+    ] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    for t in cases:
+        normalized = tok.normalizer.normalize(t)
+        exp = tok.pre_tokenizer.pre_tokenize(normalized)
+        got = tok._pre_tokenize_fast(normalized)
+        assert got == exp, repr(t)
