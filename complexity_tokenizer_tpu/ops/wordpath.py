@@ -168,10 +168,13 @@ class DeviceWordEncoder:
 
     @functools.cached_property
     def _fn(self):
-        """jit: (bytes [B,W] uint8, marks [B,W] uint8) -> tokens [B,W]
-        int32 with -1 tombstones.  marks: 1 = word start, 2 =
-        continuation, 0 = pad; word ids are a flat running count of
-        starts, so the segmented merge kernel sees each packed word as
+        """jit: (bytes [B,W] uint8, start_bits [B,W//8] uint8 little-
+        endian bitmap of word starts, row_len [B] int32 content length)
+        -> tokens [B,W] with -1 tombstones.  Packed rows are dense from
+        column 0, so validity is a prefix length and the segment marks
+        compress to one bit per position — 1/9th the host->device bytes
+        of the old [B,W] mark matrix.  Word ids are a flat running count
+        of starts, so the segmented merge kernel sees each packed word as
         one segment."""
         import jax
         import jax.numpy as jnp
@@ -192,10 +195,15 @@ class DeviceWordEncoder:
             max_id = max(max_id, int(p.rows[:, 3].max()))
         narrow = max_id < 32767
 
-        def fn(bytes_bw, marks):
+        def fn(bytes_bw, start_bits, row_len):
             B, W = bytes_bw.shape
-            valid = marks > 0
-            starts = (marks == 1).astype(jnp.int32)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+            valid = pos < row_len[:, None]
+            bits = jnp.repeat(start_bits, 8, axis=1)  # byte j covers cols 8j..8j+7
+            starts = (
+                (bits >> (pos % 8).astype(jnp.uint8)) & 1
+            ).astype(jnp.int32)
+            starts = jnp.where(valid, starts, 0)
             wid = jnp.cumsum(starts.reshape(-1)).reshape(B, W) - 1
             wid = jnp.where(valid, wid, -1)
             tokens = byte_token_table[bytes_bw.astype(jnp.int32)]
@@ -283,13 +291,20 @@ class DeviceWordEncoder:
             if n_fit == 0:
                 break
             B = next(b for b in _ROW_BUCKETS if b >= rows_used)
-            a, m = arr[:B], marks[:B]
+            a = arr[:B]
+            mk = marks[:B]
+            # compress the segment marks for transfer: a 1-bit start map
+            # (little-endian within each byte) + per-row content length
+            # (rows are packed densely from column 0)
+            bits = np.packbits(mk == 1, axis=1, bitorder="little")
+            row_len = (mk > 0).sum(axis=1).astype(np.int32)
             if self.sharding is not None:
                 import jax
 
                 a = jax.device_put(a, self.sharding)
-                m = jax.device_put(m, self.sharding)
-            tokens = np.asarray(self._fn(a, m)).reshape(-1)
+                bits = jax.device_put(bits, self.sharding)
+                row_len = jax.device_put(row_len, self.sharding)
+            tokens = np.asarray(self._fn(a, bits, row_len)).reshape(-1)
             alive = tokens >= 0
             cs = np.zeros(len(tokens) + 1, np.int64)
             np.cumsum(alive, out=cs[1:])
@@ -388,6 +403,10 @@ class DeviceWordEncoder:
         self.native.cache_insert_flat(
             wb[: int(np.sum(ls[:n]))], ls[:n], ids_flat, counts
         )
+        from ..utils.metrics import counters
+
+        counters.add("device_words_filled", n)
+        counters.add("device_fill_bytes", float(np.sum(ls[:n])))
         return n
 
     def maybe_fill_async(self, data_fn) -> None:
