@@ -294,7 +294,10 @@ constexpr int64_t kMaxCachedWord = 256;
 constexpr int64_t kMaxShortWord = 16;
 
 struct ShortCache {
-    struct Slot {
+    // 32-byte slots: a 24-byte slot straddles a cache line for every
+    // third index, making warm-probe cost depend on allocation luck —
+    // the padding buys one-line probes always (tables stay L2-resident)
+    struct alignas(32) Slot {
         uint64_t k0;
         uint64_t k1;
         uint32_t ids_off;
