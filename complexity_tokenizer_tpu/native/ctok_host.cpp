@@ -178,8 +178,14 @@ struct PairKeyHash {
 // chase is the dominant cold-path cost.  Keys are (a<<32)|b with a,b >= 0,
 // so ~0 is a safe empty marker.
 struct RankTable {
-    std::vector<uint64_t> keys;
-    std::vector<int32_t> vals;
+    // interleaved 16-byte entries: a probe touches exactly one cache
+    // line (the old keys[]/vals[] split cost two on every hit)
+    struct alignas(16) Entry {
+        uint64_t key;
+        int32_t val;
+        int32_t _pad;
+    };
+    std::vector<Entry> entries;
     uint64_t mask = 0;
     static constexpr uint64_t kEmpty = ~0ull;
 
@@ -192,15 +198,14 @@ struct RankTable {
                const int32_t* pr) {
         size_t cap = 64;
         while ((int64_t)cap < n_pairs * 2) cap *= 2;
-        keys.assign(cap, kEmpty);
-        vals.assign(cap, -1);
+        entries.assign(cap, Entry{kEmpty, -1, 0});
         mask = cap - 1;
         for (int64_t i = 0; i < n_pairs; ++i) {
             uint64_t k = (uint64_t)(uint32_t)pa[i] << 32 | (uint32_t)pb[i];
             uint64_t h = hash(k) & mask;
-            while (keys[h] != kEmpty && keys[h] != k) h = (h + 1) & mask;
-            keys[h] = k;
-            vals[h] = pr[i];
+            while (entries[h].key != kEmpty && entries[h].key != k)
+                h = (h + 1) & mask;
+            entries[h] = Entry{k, pr[i], 0};
         }
     }
 
@@ -208,9 +213,9 @@ struct RankTable {
     inline int32_t find(uint64_t k) const {
         uint64_t h = hash(k) & mask;
         for (;;) {
-            uint64_t kk = keys[h];
-            if (kk == k) return vals[h];
-            if (kk == kEmpty) return -1;
+            const Entry& e = entries[h];
+            if (e.key == k) return e.val;
+            if (e.key == kEmpty) return -1;
             h = (h + 1) & mask;
         }
     }
