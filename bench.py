@@ -168,7 +168,11 @@ def _budget_left() -> float:
 def _budgeted(fn, seconds):
     """Run fn() on a daemon thread with a wall timeout.  Returns
     (result, error); on timeout the thread is abandoned (the bench exits
-    via os._exit, so a stuck remote compile can never wedge the run)."""
+    via os._exit, so a stuck remote compile can never wedge the run).
+    fn must not mutate shared state the caller reads afterwards — an
+    abandoned thread may still be running."""
+    if seconds <= 0:
+        return None, TimeoutError("device budget exhausted")
     from threading import Thread
 
     box = {}
@@ -432,11 +436,16 @@ def main():
         detail["train_error"] = str(e)[:200]
 
     # device (TPU) tier, measured fresh in-process — the chip's own merge
-    # rate on distinct novel words (what the word path dispatches)
+    # rate on distinct novel words (what the word path dispatches).  The
+    # worker writes into a private dict merged only on a successful join,
+    # so an abandoned (timed-out) thread can never race json.dumps below.
+    dev_detail: dict = {}
     _, err = _budgeted(
-        lambda: _device_detail(tok, texts, detail), _budget_left()
+        lambda: _device_detail(tok, texts, dev_detail), _budget_left()
     )
-    if err is not None:
+    if err is None:
+        detail.update(dev_detail)
+    else:
         detail["device_error"] = str(err)[:200]
 
     # loud conformance gate: a divergence anywhere zeroes the headline

@@ -11,6 +11,7 @@
 // Exposed via a C ABI for ctypes; semantics are diff-tested against the
 // Python oracle in tests/test_native.py.
 
+#include <atomic>
 #include <condition_variable>
 #ifndef _WIN32
 #include <pthread.h>
@@ -119,11 +120,24 @@ class ThreadPool {
 // The pool is heap-allocated and intentionally leaked: parked raw C++
 // threads at process exit are harmless (nothing force-unwinds them), and
 // skipping static destruction avoids teardown-order hazards.  A forked
-// child inherits the bookkeeping but none of the worker threads, so an
-// atfork handler abandons the old pool and starts fresh — otherwise any
-// multi-threaded native call in the child (fork-based multiprocessing is
-// the Linux default) would wait forever on workers that do not exist.
+// child inherits the bookkeeping but none of the worker threads, so the
+// atfork child handler marks the pool stale (an atomic store — the only
+// async-signal-safe thing a post-fork handler may do) and pool() rebuilds
+// it lazily on first use in the child; otherwise any multi-threaded
+// native call there (fork-based multiprocessing is the Linux default)
+// would wait forever on workers that do not exist.
+
+// Upper byte-offset bound (exclusive) of thread tid's shard in the
+// balanced-by-byte-volume partition.  The last shard includes
+// offset == total so zero-length trailing rows (start == total) are
+// always assigned to exactly one thread.
+inline int64_t shard_hi(int64_t total, int tid, int n_threads) {
+    return tid == n_threads - 1 ? total + 1
+                                : total * (tid + 1) / n_threads;
+}
+
 ThreadPool* g_pool = nullptr;
+std::atomic<bool> g_pool_stale{false};
 
 ThreadPool& pool() {
     static std::once_flag once;
@@ -131,9 +145,10 @@ ThreadPool& pool() {
         g_pool = new ThreadPool();
 #ifndef _WIN32
         pthread_atfork(nullptr, nullptr,
-                       [] { g_pool = new ThreadPool(); });
+                       [] { g_pool_stale.store(true); });
 #endif
     });
+    if (g_pool_stale.exchange(false)) g_pool = new ThreadPool();
     return *g_pool;
 }
 
@@ -146,15 +161,21 @@ ThreadPool& pool() {
 template <typename T>
 struct Arena {
     static constexpr size_t kShrinkBytes = 64u << 20;  // 64 MB
+    static constexpr int kShrinkAfter = 8;  // consecutive low-demand calls
     std::unique_ptr<T[]> data;
     size_t cap = 0;
+    int low_streak = 0;
     T* ensure(size_t n) {
-        if (n > cap ||
-            (cap > kShrinkBytes / sizeof(T) && n < cap / 4)) {
+        // shrink only after a sustained drop, so alternating large/small
+        // batches don't reallocate every call
+        bool low = cap > kShrinkBytes / sizeof(T) && n < cap / 4;
+        low_streak = low ? low_streak + 1 : 0;
+        if (n > cap || low_streak >= kShrinkAfter) {
             size_t want = 4096;
             while (want < n) want *= 2;
             data.reset(new T[want]);
             cap = want;
+            low_streak = 0;
         }
         return data.get();
     }
@@ -1241,11 +1262,7 @@ void ctok_encode_batch(void* p, const uint8_t* joined, const int64_t* offsets,
         // balanced partition by byte volume
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
-        // last thread includes offset == total: zero-length
-        // trailing rows (a == total) must be assigned
-        int64_t hi_b = tid == n_threads - 1
-                           ? total + 1
-                           : total * (tid + 1) / n_threads;
+        int64_t hi_b = shard_hi(total, tid, n_threads);
         for (int64_t i = 0; i < n_texts; ++i) {
             int64_t a = offsets[i];
             if (a < lo_b || a >= hi_b) continue;
@@ -1502,11 +1519,7 @@ static int encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
         WordCache* cache = &c->caches[tid];
         ShortCache* sc = &c->short_caches[tid];
         int64_t lo_b = total * tid / n_threads;
-        // last thread includes offset == total: zero-length
-        // trailing rows (a == total) must be assigned
-        int64_t hi_b = tid == n_threads - 1
-                           ? total + 1
-                           : total * (tid + 1) / n_threads;
+        int64_t hi_b = shard_hi(total, tid, n_threads);
         int64_t base = -1;
         int64_t pos = 0;
         for (int64_t i = 0; i < n_texts; ++i) {
@@ -1545,11 +1558,7 @@ void ctok_match_any(const uint8_t* joined, const int64_t* offsets,
     auto worker = [&](int tid) {
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
-        // last thread includes offset == total: zero-length
-        // trailing rows (a == total) must be assigned
-        int64_t hi_b = tid == n_threads - 1
-                           ? total + 1
-                           : total * (tid + 1) / n_threads;
+        int64_t hi_b = shard_hi(total, tid, n_threads);
         for (int64_t i = 0; i < n_texts; ++i) {
             int64_t a = offsets[i];
             if (a < lo_b || a >= hi_b) continue;
@@ -1581,11 +1590,7 @@ void ctok_encode_batch_gated(void* p, const uint8_t* joined,
         ShortCache* sc = &c->short_caches[tid];
         int64_t total = offsets[n_texts];
         int64_t lo_b = total * tid / n_threads;
-        // last thread includes offset == total: zero-length
-        // trailing rows (a == total) must be assigned
-        int64_t hi_b = tid == n_threads - 1
-                           ? total + 1
-                           : total * (tid + 1) / n_threads;
+        int64_t hi_b = shard_hi(total, tid, n_threads);
         for (int64_t i = 0; i < n_texts; ++i) {
             int64_t a = offsets[i];
             if (a < lo_b || a >= hi_b) continue;
@@ -1947,11 +1952,7 @@ static PyObject* ctok_py_count_words(PyObject*, PyObject* args) {
             auto& m = maps[(size_t)tid];
             m.reserve(1 << 14);
             int64_t lo_b = total * tid / n_threads;
-            // last thread includes offset == total: zero-length
-            // trailing rows (a == total) must be assigned
-            int64_t hi_b = tid == n_threads - 1
-                               ? total + 1
-                               : total * (tid + 1) / n_threads;
+            int64_t hi_b = shard_hi(total, tid, n_threads);
             for (Py_ssize_t t = 0; t < n; ++t) {
                 int64_t a = offsets[(size_t)t];
                 if (a < lo_b || a >= hi_b) continue;

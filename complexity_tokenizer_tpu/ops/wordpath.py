@@ -377,23 +377,29 @@ class DeviceWordEncoder:
         must have detached ``pending`` from ``self._pending`` under
         ``_async_mu``.  Returns words inserted."""
         holder, wb, ls = pending
-        if holder.error is not None:
-            self._fill_failures += 1
+        if holder.error is not None or holder.result is None:
+            # result can be None without error only if something
+            # BaseException-shaped unwound the fill thread — treat it as
+            # a failure, never unpack None
             import logging
 
-            if self._fill_failures >= self.max_fill_failures:
-                self._device_broken = True
+            with self._async_mu:
+                self._fill_failures += 1
+                failures = self._fill_failures
+                if failures >= self.max_fill_failures:
+                    self._device_broken = True
+            if failures >= self.max_fill_failures:
                 logging.getLogger(__name__).warning(
                     "device word fill failed %d times; disabling the TPU "
                     "auto-fill for this tokenizer (host tier continues, "
                     "results unaffected). Last error: %r",
-                    self._fill_failures,
+                    failures,
                     holder.error,
                 )
             else:
                 logging.getLogger(__name__).warning(
                     "device word fill failed (%d/%d before disable): %r",
-                    self._fill_failures,
+                    failures,
                     self.max_fill_failures,
                     holder.error,
                 )

@@ -1137,7 +1137,8 @@ class Tokenizer:
         # the native fast path builds field-identical Encodings (offsets /
         # word_ids deferred to first access) ~8x faster than the per-text
         # loop; diff-tested against it in tests/test_tokenizer.py
-        fast = self._call_batch_fast(list(texts), True)
+        texts = list(texts)  # materialize once: generators must survive
+        fast = self._call_batch_fast(texts, True)
         if fast is not None:
             return fast
         return [self.encode_to_encoding(t) for t in texts]
