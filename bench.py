@@ -443,10 +443,25 @@ def main():
     _, err = _budgeted(
         lambda: _device_detail(tok, texts, dev_detail), _budget_left()
     )
-    if err is None:
-        detail.update(dev_detail)
-    else:
+    # merge whatever completed (e.g. the small-bucket numbers when the
+    # large bucket hit the budget); snapshot defensively — an abandoned
+    # thread may still be appending
+    for _ in range(3):
+        try:
+            detail.update(dict(dev_detail))
+            break
+        except RuntimeError:  # pragma: no cover — size changed mid-copy
+            continue
+    if err is not None:
         detail["device_error"] = str(err)[:200]
+    for k in (
+        "device_first_fill_s",
+        "device_words_filled",
+        "device_merge_words_per_s",
+        "device_novel_bytes_per_s",
+    ):
+        if k not in detail and k + "_64rows" in detail:
+            detail[k] = detail[k + "_64rows"]
 
     # loud conformance gate: a divergence anywhere zeroes the headline
     gates = [
