@@ -38,6 +38,10 @@
 
 namespace {
 
+#ifdef CTOK_COUNTERS
+int64_t g_front_hit = 0, g_front_miss = 0, g_keyed = 0;
+#endif
+
 // Persistent worker pool: every batch entry point fans out through this
 // instead of spawning std::threads per call (thread creation costs more
 // than an entire warm 10K-text encode pass).  The calling thread runs
@@ -319,6 +323,44 @@ constexpr int64_t kMaxCachedWord = 256;
 // arena.  len == 0 marks an empty slot (a real key has len >= 1).
 constexpr int64_t kMaxShortWord = 16;
 
+// Direct-mapped single-token front cache for words <= 8 bytes: the Zipf
+// head of natural text is almost entirely short whole-word-token words,
+// so the common probe collapses to one 16-byte slot load and one compare.
+// A zero-padded <=8-byte word is uniquely identified by its k0 (text
+// never contains NUL), an entry is immutable once written (a word's ids
+// never change within a ctx), and slots fill first-come — in Zipf order
+// the head words arrive first and keep their slots.  Purely an
+// accelerator view of the main caches: a miss falls through to them, so
+// exactness never depends on hit rate.
+struct FrontCache {
+    struct alignas(16) Slot {
+        uint64_t k0;   // key bytes, zero-padded
+        int32_t id;
+        uint32_t len;  // 0 = empty; disambiguates NUL-padded keys
+    };
+    static constexpr uint64_t kBits = 15;  // 32K slots = 512 KB
+    std::vector<Slot> slots;
+    static inline uint64_t hash(uint64_t k0) {
+        return (k0 * 0x9E3779B97F4A7C15ull) >> (64 - kBits);
+    }
+    inline bool lookup1(uint64_t k0, uint32_t len, int32_t* out) const {
+        if (slots.empty()) return false;
+        const Slot& s = slots[hash(k0)];
+        if (s.k0 != k0 || s.len != len) return false;
+        out[0] = s.id;
+        return true;
+    }
+    inline void insert1(uint64_t k0, uint32_t len, int32_t id) {
+        if (slots.empty()) slots.resize((size_t)1 << kBits);
+        Slot& s = slots[hash(k0)];
+        if (!s.len) {
+            s.k0 = k0;
+            s.id = id;
+            s.len = len;
+        }
+    }
+};
+
 struct ShortCache {
     // 32-byte slots: a 24-byte slot straddles a cache line for every
     // third index, making warm-probe cost depend on allocation luck —
@@ -335,6 +377,9 @@ struct ShortCache {
     uint64_t mask = 0;
     size_t count = 0;
     std::vector<int32_t> ids_arena;
+    // per-thread accelerator for <=8-byte single-token words (the owning
+    // thread is the only prober/inserter, so no synchronization)
+    FrontCache front;
 
     static inline uint64_t mix(uint64_t k0, uint64_t k1, uint64_t len) {
         uint64_t h = k0 ^ (k1 * 0xFF51AFD7ED558CCDull) ^
@@ -576,21 +621,76 @@ inline int decode_cp(const uint8_t* data, int64_t n, int64_t i, uint32_t* cp) {
 }
 
 // Greedy lowest-rank merge loop on one word's token vector (bpe.rs:104-153).
+//
+// Identical selection semantics to the reference (leftmost occurrence of
+// the lowest-rank pair each iteration — strict `<` keeps the leftmost),
+// but the pair ranks are maintained incrementally: a merge at i only
+// changes pairs (i-1,i) and (i,i+1), so each iteration costs an
+// L1-resident min-scan plus two hash probes instead of a fresh probe per
+// adjacent pair.  The initial scan prefetches every probed rank-table
+// line first — on a GPT-2-scale table (multi-MB, random access) the
+// memory-level parallelism is what the cold path is bound by.
 inline void merge_word(const Ctx* c, std::vector<int32_t>& toks) {
-    while (toks.size() > 1) {
-        int best_i = -1;
-        int32_t best_rank = 0;
-        for (size_t i = 0; i + 1 < toks.size(); ++i) {
-            int32_t r = c->ranks.find(key(toks[i], toks[i + 1]).v);
-            if (r < 0) continue;
-            if (best_i < 0 || r < best_rank) {
-                best_i = (int)i;
-                best_rank = r;
+    size_t n = toks.size();
+    if (n < 2) return;
+    constexpr int32_t kNoRank = INT32_MAX;
+    int32_t rstack[96];
+    uint64_t hstack[96];
+    std::vector<int32_t> rheap;
+    std::vector<uint64_t> hheap;
+    int32_t* r = rstack;
+    uint64_t* hs = hstack;
+    if (n - 1 > 96) {
+        rheap.resize(n - 1);
+        hheap.resize(n - 1);
+        r = rheap.data();
+        hs = hheap.data();
+    }
+    const RankTable& rt = c->ranks;
+    size_t m = n - 1;  // live pair count
+    for (size_t i = 0; i < m; ++i) {
+        uint64_t k = key(toks[i], toks[i + 1]).v;
+        hs[i] = k;
+        __builtin_prefetch(&rt.entries[RankTable::hash(k) & rt.mask], 0, 1);
+    }
+    for (size_t i = 0; i < m; ++i) {
+        int32_t v = rt.find(hs[i]);
+        r[i] = v < 0 ? kNoRank : v;
+    }
+    for (;;) {
+        int32_t best = kNoRank;
+        size_t bi = 0;
+        for (size_t i = 0; i < m; ++i)
+            if (r[i] < best) {
+                best = r[i];
+                bi = i;
             }
+        if (best == kNoRank) break;
+        toks[bi] = c->rank_new[best];
+        toks.erase(toks.begin() + bi + 1);
+        std::memmove(r + bi, r + bi + 1, (m - bi - 1) * sizeof(int32_t));
+        --m;
+        if (m == 0) break;
+        uint64_t ka = 0, kb = 0;
+        bool hasa = bi > 0, hasb = bi < m;
+        if (hasa) {
+            ka = key(toks[bi - 1], toks[bi]).v;
+            __builtin_prefetch(&rt.entries[RankTable::hash(ka) & rt.mask], 0,
+                               1);
         }
-        if (best_i < 0) break;
-        toks[best_i] = c->rank_new[best_rank];
-        toks.erase(toks.begin() + best_i + 1);
+        if (hasb) {
+            kb = key(toks[bi], toks[bi + 1]).v;
+            __builtin_prefetch(&rt.entries[RankTable::hash(kb) & rt.mask], 0,
+                               1);
+        }
+        if (hasa) {
+            int32_t v = rt.find(ka);
+            r[bi - 1] = v < 0 ? kNoRank : v;
+        }
+        if (hasb) {
+            int32_t v = rt.find(kb);
+            r[bi] = v < 0 ? kNoRank : v;
+        }
     }
 }
 
@@ -704,6 +804,55 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
         cache->insert(h, data + start, wlen, scratch.data(),
                       (int64_t)scratch.size());
     }
+    return (int64_t)scratch.size();
+}
+
+// encode_word's short-word body with the key/hash precomputed by the
+// pipelined scanner (which has already prefetched both cache slots).
+inline int64_t encode_word_short_keyed(const Ctx* c, ShortCache* sc,
+                                       const uint8_t* data, int64_t start,
+                                       int64_t end, uint64_t k0, uint64_t k1,
+                                       uint64_t hv, int32_t* out,
+                                       int64_t room,
+                                       std::vector<int32_t>& scratch) {
+    int64_t wlen = end - start;
+    bool frontable = wlen <= 8;  // => k1 == 0; key is (k0, len)
+    if (frontable && sc->front.lookup1(k0, (uint32_t)wlen, out)) return 1;
+    for (int which = 0; which < 2; ++which) {
+        const ShortCache* s = which == 0 ? &c->shared_short : sc;
+        if (s->slots.empty()) continue;
+        uint64_t hh = hv & s->mask;
+        for (;;) {
+            const ShortCache::Slot& sl = s->slots[hh];
+            if (!sl.len) break;
+            if (sl.k0 == k0 && sl.k1 == k1 && sl.len == (uint8_t)wlen) {
+                uint32_t cnt = sl.ids_len;
+                if (cnt == 1) {
+                    out[0] = (int32_t)sl.ids_off;
+                    if (frontable) sc->front.insert1(k0, (uint32_t)wlen, out[0]);
+                    return 1;
+                }
+                const int32_t* src = s->ids_arena.data() + sl.ids_off;
+                if ((int64_t)((cnt + 3u) & ~3u) <= room)
+                    copy_ids_wide(out, src, cnt);
+                else
+                    std::memcpy(out, src, (size_t)cnt * sizeof(int32_t));
+                return cnt;
+            }
+            hh = (hh + 1) & s->mask;
+        }
+    }
+    scratch.clear();
+    for (int64_t k = start; k < end; ++k) {
+        int32_t t = c->byte_token[data[k]];
+        if (t >= 0) scratch.push_back(t);
+    }
+    if (!scratch.empty()) merge_word(c, scratch);
+    for (size_t i = 0; i < scratch.size(); ++i) out[i] = scratch[i];
+    sc->insert(k0, k1, (uint8_t)wlen, scratch.data(),
+               (int64_t)scratch.size());
+    if (frontable && scratch.size() == 1)
+        sc->front.insert1(k0, (uint32_t)wlen, scratch[0]);
     return (int64_t)scratch.size();
 }
 
@@ -858,12 +1007,100 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
         uint64_t* spv = buf + nblk_cap * 2;
         int64_t nblk = build_bounds(data, n, bound, wsv, spv);
         if (nblk >= 0) {
-            while (i < n) {
-                int64_t end = match_contraction(data, n, i);
-                if (end < 0) end = next_bound(bound, nblk, i + 1, n);
-                n_out += encode_word(c, cache, sc, data, i, end, n,
-                                     out + n_out, n - n_out, scratch);
-                i = end;
+            // Quote-free texts (the overwhelming majority) take a bulk
+            // path: every word start is a set bit in the boundary mask,
+            // so one ctz sweep extracts all boundaries up front — no
+            // per-word next_bound/match_contraction calls.  Texts with a
+            // "'" keep the exact contraction-aware walk.
+            int64_t bstack[1024];
+            std::vector<int64_t> bheap;
+            int64_t* bnd = bstack;
+            int64_t nb = -1;
+            if (!memchr(data, '\'', (size_t)n)) {
+                if (n + 1 > 1024) {
+                    bheap.resize((size_t)n + 1);
+                    bnd = bheap.data();
+                }
+                nb = 0;
+                for (int64_t k = 0; k < nblk; ++k) {
+                    uint64_t w = bound[k];
+                    int64_t base = k << 6;
+                    while (w) {
+                        int64_t pos = base + __builtin_ctzll(w);
+                        w &= w - 1;
+                        // the <<1 in build_bounds can mark a transition at
+                        // position n (end of text) — a word END, never a
+                        // word start
+                        if (pos < n) bnd[nb++] = pos;
+                    }
+                }
+                bnd[nb] = n;
+            }
+            // Tight per-word loop.  The table set is L2/L3-resident and
+            // words are independent, so out-of-order execution already
+            // overlaps probe latencies — the round-3 measurements showed
+            // per-word cost is bound by straight-line instruction count,
+            // not memory.  The common case (<=8-byte word, front-cache
+            // hit) is: one masked load, one multiply-shift hash, one
+            // 16-byte slot compare, one id store; mix/hv are only
+            // computed on a front miss.
+            const FrontCache& front = sc->front;
+            auto do_word = [&](int64_t start, int64_t end) {
+                int64_t wlen = end - start;
+                if (wlen <= 8) {
+                    uint64_t k0;
+                    if (start + 8 <= n) {
+                        std::memcpy(&k0, data + start, 8);
+                        k0 &= kLenMask8[wlen];
+                    } else {
+                        uint64_t k1_unused;
+                        load_key16_safe(data + start, wlen, &k0, &k1_unused);
+                    }
+                    if (!front.slots.empty()) {
+                        const FrontCache::Slot& fs =
+                            front.slots[FrontCache::hash(k0)];
+                        if (fs.k0 == k0 && fs.len == (uint32_t)wlen) {
+#ifdef CTOK_COUNTERS
+                            ++g_front_hit;
+#endif
+                            out[n_out++] = fs.id;
+                            return;
+                        }
+                    }
+#ifdef CTOK_COUNTERS
+                    ++g_front_miss;
+#endif
+                    uint64_t hv = ShortCache::mix(k0, 0, (uint64_t)wlen);
+                    n_out += encode_word_short_keyed(c, sc, data, start, end,
+                                                     k0, 0, hv, out + n_out,
+                                                     n - n_out, scratch);
+                } else if (wlen <= kMaxShortWord) {
+                    uint64_t k0, k1;
+                    if (start + 16 <= n)
+                        load_key16(data + start, wlen, &k0, &k1);
+                    else
+                        load_key16_safe(data + start, wlen, &k0, &k1);
+                    uint64_t hv = ShortCache::mix(k0, k1, (uint64_t)wlen);
+#ifdef CTOK_COUNTERS
+                    ++g_keyed;
+#endif
+                    n_out += encode_word_short_keyed(c, sc, data, start, end,
+                                                     k0, k1, hv, out + n_out,
+                                                     n - n_out, scratch);
+                } else {
+                    n_out += encode_word(c, cache, nullptr, data, start, end,
+                                         n, out + n_out, n - n_out, scratch);
+                }
+            };
+            if (nb >= 0) {
+                for (int64_t j = 0; j < nb; ++j) do_word(bnd[j], bnd[j + 1]);
+            } else {
+                while (i < n) {
+                    int64_t end = match_contraction(data, n, i);
+                    if (end < 0) end = next_bound(bound, nblk, i + 1, n);
+                    do_word(i, end);
+                    i = end;
+                }
             }
             return n_out;
         }
@@ -1444,19 +1681,23 @@ void ctok_cache_insert_batch(void* p, const uint8_t* words_buf,
 struct PatternSet {
     const uint8_t* buf;
     const int64_t* offs;
-    // patterns grouped by first byte
+    // patterns grouped by first byte; lead_bytes lists the non-empty
+    // groups so the per-text scan never walks all 256 slots
     std::vector<int32_t> by_first[256];
+    std::vector<uint8_t> lead_bytes;
     PatternSet(const uint8_t* pat_buf, const int64_t* pat_offsets,
                int64_t n_pats)
         : buf(pat_buf), offs(pat_offsets) {
         for (int64_t p = 0; p < n_pats; ++p)
-            if (pat_offsets[p + 1] > pat_offsets[p])
-                by_first[pat_buf[pat_offsets[p]]].push_back((int32_t)p);
+            if (pat_offsets[p + 1] > pat_offsets[p]) {
+                uint8_t f = pat_buf[pat_offsets[p]];
+                if (by_first[f].empty()) lead_bytes.push_back(f);
+                by_first[f].push_back((int32_t)p);
+            }
     }
     bool matches(const uint8_t* text, int64_t len) const {
-        for (int f = 0; f < 256; ++f) {
+        for (uint8_t f : lead_bytes) {
             const auto& pats = by_first[f];
-            if (pats.empty()) continue;
             const uint8_t* p = text;
             const uint8_t* end = text + len;
             while ((p = (const uint8_t*)memchr(p, f, end - p))) {
