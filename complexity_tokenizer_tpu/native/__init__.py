@@ -154,6 +154,7 @@ def load_library():
             ctypes.c_void_p,
             ctypes.c_int64,
             ctypes.c_int64,
+            ctypes.c_int32,
         ]
         lib.ctok_cache_insert_batch.argtypes = [
             ctypes.c_void_p,
@@ -258,23 +259,30 @@ class NativeEncoder:
     worth it.
     """
 
-    def __init__(self, merge_ranks, merge_ops, byte_token_table: np.ndarray):
+    def __init__(self, merge_ranks, merge_ops, byte_token_table: np.ndarray,
+                 packed=None):
         from ..utils.unicode_tables import gpt2_class_table
 
         lib = load_library()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
-        n = len(merge_ranks)
-        pa = np.empty(n, np.int32)
-        pb = np.empty(n, np.int32)
-        pr = np.empty(n, np.int32)
-        for i, ((a, b), r) in enumerate(merge_ranks.items()):
-            pa[i], pb[i], pr[i] = a, b, r
-        max_rank = max(merge_ops) if merge_ops else 0
-        rank_new = np.full(max_rank + 1, -1, np.int32)
-        for r, (_pair, new_id) in merge_ops.items():
-            rank_new[r] = new_id
+        if packed is not None:
+            # prebuilt (pa, pb, pr, rank_new) — see
+            # core.bpe.BpeTokenizer.packed_merge_arrays
+            pa, pb, pr, rank_new = packed
+            n = len(pa)
+        else:
+            n = len(merge_ranks)
+            pa = np.empty(n, np.int32)
+            pb = np.empty(n, np.int32)
+            pr = np.empty(n, np.int32)
+            for i, ((a, b), r) in enumerate(merge_ranks.items()):
+                pa[i], pb[i], pr[i] = a, b, r
+            max_rank = max(merge_ops) if merge_ops else 0
+            rank_new = np.full(max_rank + 1, -1, np.int32)
+            for r, (_pair, new_id) in merge_ops.items():
+                rank_new[r] = new_id
         # keep referenced arrays alive for the ctx lifetime
         self._keep = (
             pa,
@@ -366,10 +374,14 @@ class NativeEncoder:
     def collect_miss_words(
         self, data: list[bytes], max_wlen: int = 32,
         cap_words: int = 1 << 20, cap_bytes: int = 1 << 24,
+        n_threads: int | None = None,
     ):
-        """Distinct pre-split words in the corpus that no cache knows yet
-        (<= max_wlen bytes): (words_buf uint8, lens int32[n]).  These are
-        the candidates for a device batch encode + cache_insert."""
+        """Distinct pre-split words in the corpus that the SHARED caches
+        do not know yet (<= max_wlen bytes): (words_buf uint8, lens
+        int32[n]) — the candidates for a device batch encode +
+        cache_insert.  Probes only the shared tables (its own native
+        mutex), so it may run on a background thread concurrently with
+        host encodes; ``n_threads=1`` keeps it off the worker pool."""
         n = len(data)
         if n == 0:
             return np.zeros(0, np.uint8), np.zeros(0, np.int32)
@@ -384,6 +396,7 @@ class NativeEncoder:
         n_words = self._lib.ctok_collect_miss_words(
             self._ctx, _ptr(jb), _ptr(offsets), n, int(max_wlen),
             _ptr(words), _ptr(lens), cap_words, cap_bytes,
+            int(n_threads or 0),
         )
         lens = lens[:n_words]
         return words[: int(lens.sum())] if n_words else np.zeros(0, np.uint8), lens

@@ -479,6 +479,11 @@ struct Ctx {
     // encodes — can never interleave a rehash with a probe.  Never held
     // while (re)acquiring the GIL.
     std::mutex work_mu;
+    // Guards the SHARED caches alone, so the miss scan (which probes only
+    // them) can run on the background fill thread concurrently with a
+    // host encode — the scan never sits on the serving critical path.
+    // Lock order: work_mu before shared_mu; nothing takes them reversed.
+    std::mutex shared_mu;
 };
 
 inline uint64_t fnv1a(const uint8_t* p, int64_t n) {
@@ -982,6 +987,46 @@ inline int64_t next_bound(const uint64_t* bound, int64_t nblk, int64_t from,
     return (k << 6) + __builtin_ctzll(w);
 }
 #endif  // CTOK_AVX512
+
+// Iterate the GPT-2 simplified matches of one text, calling f(start, end)
+// per word.  Uses the SIMD class scan where eligible, the exact scalar
+// walk otherwise — the same boundaries the encode path produces.
+template <class F>
+inline void for_each_word(const Ctx* c, const uint8_t* data, int64_t n,
+                          F&& f) {
+    if (n <= 0) return;
+#ifdef CTOK_AVX512
+    if (c->simd_ascii) {
+        uint64_t stack_buf[kScanStackBlocks * 3];
+        std::vector<uint64_t> heap_buf;
+        uint64_t* buf = stack_buf;
+        int64_t nblk_cap = (n + 63) >> 6;
+        if (nblk_cap > kScanStackBlocks) {
+            heap_buf.resize((size_t)nblk_cap * 3);
+            buf = heap_buf.data();
+        }
+        uint64_t* bound = buf;
+        int64_t nblk = build_bounds(data, n, bound, buf + nblk_cap,
+                                    buf + nblk_cap * 2);
+        if (nblk >= 0) {
+            int64_t i = 0;
+            while (i < n) {
+                int64_t end = match_contraction(data, n, i);
+                if (end < 0) end = next_bound(bound, nblk, i + 1, n);
+                f(i, end);
+                i = end;
+            }
+            return;
+        }
+    }
+#endif
+    int64_t i = 0;
+    while (i < n) {
+        int64_t end = word_end_at(c, data, n, i);
+        f(i, end);
+        i = end;
+    }
+}
 
 // Scan [data, data+n) emitting GPT-2 simplified matches; for each word call
 // encode_word.  Returns total ids written.
@@ -1592,33 +1637,48 @@ int64_t ctok_collect_miss_words(void* p, const uint8_t* joined,
                                 const int64_t* offsets, int64_t n_texts,
                                 int64_t max_wlen, uint8_t* out_words,
                                 int32_t* out_lens, int64_t cap_words,
-                                int64_t cap_bytes) {
+                                int64_t cap_bytes, int32_t n_threads) {
     Ctx* c = (Ctx*)p;
-    std::lock_guard<std::mutex> lk(c->work_mu);
-    // local seen-set for this scan
-    ShortCache seen_short;
-    WordCache seen_long;
-    std::vector<int32_t> dummy;
-    int64_t n_words = 0;
-    int64_t byte_pos = 0;
-    int32_t sink[kMaxCachedWord];
-    for (int64_t t = 0; t < n_texts; ++t) {
-        const uint8_t* data = joined + offsets[t];
-        int64_t n = offsets[t + 1] - offsets[t];
-        int64_t i = 0;
-        while (i < n) {
-            int64_t end = word_end_at(c, data, n, i);
-            int64_t wlen = end - i;
-            if (wlen >= 1 && wlen <= max_wlen) {
+    // Probes ONLY the shared caches (under shared_mu), never the
+    // per-thread ones: the scan can then run on the background fill
+    // thread concurrently with host encodes.  Words a host thread has
+    // already merged privately may be over-collected — the device fill
+    // recomputes them once and the insert dedups; exactness never
+    // depends on scan timing.
+    std::lock_guard<std::mutex> lk(c->shared_mu);
+    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    if (n_texts < n_threads * 8) n_threads = 1;
+    int64_t total = offsets[n_texts];
+    struct ThreadOut {
+        std::vector<uint8_t> words;
+        std::vector<int32_t> lens;
+    };
+    std::vector<ThreadOut> touts((size_t)n_threads);
+    auto worker = [&](int tid) {
+        ShortCache seen_short;
+        WordCache seen_long;
+        int32_t sink[kMaxCachedWord];
+        ThreadOut& to = touts[(size_t)tid];
+        int64_t lo_b = total * tid / n_threads;
+        int64_t hi_b = shard_hi(total, tid, n_threads);
+        for (int64_t t = 0; t < n_texts; ++t) {
+            int64_t a = offsets[t];
+            if (a < lo_b || a >= hi_b) continue;
+            const uint8_t* data = joined + a;
+            int64_t n = offsets[t + 1] - a;
+            for_each_word(c, data, n, [&](int64_t i, int64_t end) {
+                int64_t wlen = end - i;
+                if (wlen < 1 || wlen > max_wlen) return;
                 bool known = false;
                 if (wlen <= kMaxShortWord) {
                     uint64_t k0, k1;
                     load_key16_safe(data + i, wlen, &k0, &k1);
                     known =
                         (!c->shared_short.slots.empty() &&
-                         c->shared_short.lookup(k0, k1, (uint8_t)wlen, sink) >= 0) ||
-                        (!c->short_caches[0].slots.empty() &&
-                         c->short_caches[0].lookup(k0, k1, (uint8_t)wlen, sink) >= 0) ||
+                         c->shared_short.lookup(k0, k1, (uint8_t)wlen,
+                                                sink) >= 0) ||
                         (!seen_short.slots.empty() &&
                          seen_short.lookup(k0, k1, (uint8_t)wlen, sink) >= 0);
                     if (!known)
@@ -1626,19 +1686,52 @@ int64_t ctok_collect_miss_words(void* p, const uint8_t* joined,
                 } else {
                     uint64_t h = fnv1a(data + i, wlen);
                     known = c->shared_long.find(h, data + i, wlen) >= 0 ||
-                            c->caches[0].find(h, data + i, wlen) >= 0 ||
                             seen_long.find(h, data + i, wlen) >= 0;
-                    if (!known) seen_long.insert(h, data + i, wlen, nullptr, 0);
+                    if (!known)
+                        seen_long.insert(h, data + i, wlen, nullptr, 0);
                 }
                 if (!known) {
-                    if (n_words >= cap_words || byte_pos + wlen > cap_bytes)
-                        return n_words;
-                    std::memcpy(out_words + byte_pos, data + i, (size_t)wlen);
-                    byte_pos += wlen;
-                    out_lens[n_words++] = (int32_t)wlen;
+                    to.words.insert(to.words.end(), data + i, data + end);
+                    to.lens.push_back((int32_t)wlen);
                 }
+            });
+        }
+    };
+    pool().run(n_threads, worker);
+    // ordered merge with cross-shard dedup (each shard is internally
+    // distinct already; the global pass only filters inter-shard repeats)
+    ShortCache g_short;
+    WordCache g_long;
+    int32_t sink[kMaxCachedWord];
+    int64_t n_words = 0;
+    int64_t byte_pos = 0;
+    for (int t = 0; t < n_threads; ++t) {
+        const ThreadOut& to = touts[(size_t)t];
+        int64_t off = 0;
+        for (int32_t wlen : to.lens) {
+            const uint8_t* wp = to.words.data() + off;
+            off += wlen;
+            if (n_threads > 1) {
+                bool dup;
+                if (wlen <= kMaxShortWord) {
+                    uint64_t k0, k1;
+                    load_key16_safe(wp, wlen, &k0, &k1);
+                    dup = !g_short.slots.empty() &&
+                          g_short.lookup(k0, k1, (uint8_t)wlen, sink) >= 0;
+                    if (!dup)
+                        g_short.insert(k0, k1, (uint8_t)wlen, nullptr, 0);
+                } else {
+                    uint64_t h = fnv1a(wp, wlen);
+                    dup = g_long.find(h, wp, wlen) >= 0;
+                    if (!dup) g_long.insert(h, wp, wlen, nullptr, 0);
+                }
+                if (dup) continue;
             }
-            i = end;
+            if (n_words >= cap_words || byte_pos + wlen > cap_bytes)
+                return n_words;
+            std::memcpy(out_words + byte_pos, wp, (size_t)wlen);
+            byte_pos += wlen;
+            out_lens[n_words++] = (int32_t)wlen;
         }
     }
     return n_words;
@@ -1652,6 +1745,7 @@ void ctok_cache_insert_batch(void* p, const uint8_t* words_buf,
                              const int64_t* ids_offsets) {
     Ctx* c = (Ctx*)p;
     std::lock_guard<std::mutex> lk(c->work_mu);
+    std::lock_guard<std::mutex> lk2(c->shared_mu);
     for (int64_t w = 0; w < n_words; ++w) {
         const uint8_t* wp = words_buf + word_offsets[w];
         int64_t wlen = word_offsets[w + 1] - word_offsets[w];

@@ -48,9 +48,9 @@ _ROW_BUCKETS = (64, 256, 1024, 4096)
 
 
 class _FillResult:
-    """Result slot for one background device fill (daemon thread)."""
+    """Result slot for one background device scan+fill (daemon thread)."""
 
-    __slots__ = ("result", "error", "done")
+    __slots__ = ("result", "error", "done", "words", "lens")
 
     def __init__(self):
         import threading
@@ -58,6 +58,10 @@ class _FillResult:
         self.result = None
         self.error = None
         self.done = threading.Event()
+        # the scanned miss words (filled by the background thread before
+        # the device encode; consumed by the harvest)
+        self.words = None
+        self.lens = None
 
 
 # Fills still running at interpreter exit must be waited out: a daemon
@@ -140,9 +144,9 @@ class DeviceWordEncoder:
         self.sharding = None
         self._steady = False
         self._batches_since_sweep = 0
-        # async state (auto mode): _pending = (holder, words_buf, lens);
-        # the fill runs on a daemon thread (a non-daemon executor would
-        # block interpreter exit on an in-flight first compile).
+        # async state (auto mode): _pending = a _FillResult whose scan +
+        # device encode run on a daemon thread (a non-daemon executor
+        # would block interpreter exit on an in-flight first compile).
         # _async_mu guards _pending/_steady/_batches_since_sweep against
         # concurrent serving threads; it is never held while blocking.
         self._async_mu = threading.Lock()
@@ -370,13 +374,15 @@ class DeviceWordEncoder:
     # async fill (backend="auto" on TPU)
     # ------------------------------------------------------------------
 
-    def _harvest(self, pending) -> int:
+    def _harvest(self, holder) -> int:
         """Consume a FINISHED fill: record errors (disabling the device
         path after ``max_fill_failures``, with a logged warning — never
         silently) or insert the results into the shared caches.  Caller
-        must have detached ``pending`` from ``self._pending`` under
+        must have detached ``holder`` from ``self._pending`` under
         ``_async_mu``.  Returns words inserted."""
-        holder, wb, ls = pending
+        wb, ls = holder.words, holder.lens
+        if holder.error is None and (wb is None or len(ls) == 0):
+            return 0  # scan found nothing to fill
         if holder.error is not None or holder.result is None:
             # result can be None without error only if something
             # BaseException-shaped unwound the fill thread — treat it as
@@ -416,11 +422,14 @@ class DeviceWordEncoder:
         return n
 
     def maybe_fill_async(self, data_fn) -> None:
-        """Non-blocking fill hook for the auto path, called at the top of
-        a batch encode on the calling thread.  Harvests a finished device
-        fill into the shared caches (calling-thread insert), else launches
-        a new fill when a scan is due.  ``data_fn`` lazily materializes
-        the corpus byte strings (only invoked when a scan actually runs).
+        """Non-blocking scan+fill hook for the auto path, called at the
+        top of a batch encode on the calling thread.  Harvests a finished
+        device fill into the shared caches (calling-thread insert), else
+        launches a background scan+fill when one is due.  Both the miss
+        scan and the device encode run on the background thread — the
+        scan probes only the shared caches (its own native mutex), so a
+        cold batch's serving wall time never includes it.  ``data_fn``
+        lazily materializes the corpus byte strings on that thread.
         Safe under concurrent callers: all pending/steady state changes
         happen under ``_async_mu`` (never held while blocking)."""
         if self._device_broken:
@@ -428,7 +437,7 @@ class DeviceWordEncoder:
         with self._async_mu:
             pending = self._pending
             if pending is not None:
-                if not pending[0].done.is_set():
+                if not pending.done.is_set():
                     return
                 self._pending = None
             elif (
@@ -440,24 +449,30 @@ class DeviceWordEncoder:
         if pending is not None:
             self._harvest(pending)
             return
-        words_buf, lens = self.native.collect_miss_words(data_fn(), _WORD_W)
-        n = len(lens)
+        holder = _FillResult()
         with self._async_mu:
-            self._batches_since_sweep = 0
-            self._steady = n < self.min_async_fill
-            if n < self.min_async_fill:
-                return  # host merges + caches the stragglers
             if self._pending is not None:
                 return  # another caller launched meanwhile
-            if n > self.fill_cap:
-                n = self.fill_cap
-                lens = lens[:n]
-                words_buf = words_buf[: int(np.sum(lens))]
-            holder = _FillResult()
-            self._pending = (holder, words_buf, lens)
+            self._batches_since_sweep = 0
+            self._pending = holder
 
         def _run():
             try:
+                # n_threads=1: stay off the worker pool the serving
+                # thread's encode is using
+                words_buf, lens = self.native.collect_miss_words(
+                    data_fn(), _WORD_W, n_threads=1
+                )
+                n = len(lens)
+                with self._async_mu:
+                    self._steady = n < self.min_async_fill
+                if n < self.min_async_fill:
+                    return  # host merges + caches the stragglers
+                if n > self.fill_cap:
+                    n = self.fill_cap
+                    lens = lens[:n]
+                    words_buf = words_buf[: int(np.sum(lens))]
+                holder.words, holder.lens = words_buf, lens
                 holder.result = self._encode_words_packed(words_buf, lens)
             except Exception as e:  # device errors recorded, not raised
                 holder.error = e
@@ -481,7 +496,7 @@ class DeviceWordEncoder:
             pending = self._pending
         if pending is None:
             return 0
-        if not pending[0].done.wait(timeout):
+        if not pending.done.wait(timeout):
             return 0
         with self._async_mu:
             if self._pending is not pending:

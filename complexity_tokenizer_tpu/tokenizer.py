@@ -529,7 +529,10 @@ class Tokenizer:
                 if tid is not None:
                     byte_token[b] = tid
             self._native = NativeEncoder(
-                self.bpe.merge_ranks, self.bpe.merge_ops, byte_token
+                self.bpe.merge_ranks,
+                self.bpe.merge_ops,
+                byte_token,
+                packed=self.bpe.packed_merge_arrays(),
             )
         except Exception:
             self._native = None
@@ -647,12 +650,14 @@ class Tokenizer:
                 if wp is not None:
                     # non-blocking: the chip merges distinct cache-miss
                     # words in the background; results land in the shared
-                    # caches on a later batch.  Raw (pre-normalize) bytes
-                    # are fine for the miss scan — a word's merge result
-                    # is a pure function of its bytes, and scan over- or
-                    # under-selection only shifts work between tiers.
+                    # caches on a later batch.  The scan (also on the
+                    # background thread) sees the genuinely-normalized
+                    # corpus — the byte sequences the encode actually
+                    # tokenizes — so NFC-only words reach the chip too.
                     wp.maybe_fill_async(
-                        lambda: self._prepare_bytes(normalized)
+                        lambda: self._prepare_bytes(
+                            self._normalize_batch(texts)
+                        )
                     )
                 rows = native.encode_rows_fused(
                     normalized, aps, pats, ascii_norm=ascii_norm
@@ -770,8 +775,14 @@ class Tokenizer:
             aps = self._byte_level_prefix_space()
             wp = self._auto_word_path()
             if wp is not None:
-                # async device fill; see encode_batch for the contract
-                wp.maybe_fill_async(lambda: self._prepare_bytes(normalized))
+                # async device fill; see encode_batch for the contract.
+                # Scan the genuinely-normalized corpus (the background
+                # thread pays the normalization, not the serving thread):
+                # the scan must see the byte sequences the encode actually
+                # tokenizes, or NFC-only words never reach the chip.
+                wp.maybe_fill_async(
+                    lambda: self._prepare_bytes(self._normalize_batch(texts))
+                )
             fused = native.encode_ragged_fused(
                 normalized, aps, pats, ascii_norm=ascii_norm
             )
