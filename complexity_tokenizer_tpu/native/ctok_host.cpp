@@ -2174,6 +2174,18 @@ static inline PyObject* cached_long(int32_t v) {
     return o;
 }
 
+// Fill n list slots with the SAME object: pointer stores + one refcount
+// adjustment instead of n INCREFs.  Immortal objects (3.12 small ints)
+// keep their saturated refcount untouched.
+static inline void fill_same(PyObject** dst, PyObject* o, Py_ssize_t n) {
+    for (Py_ssize_t i = 0; i < n; ++i) dst[i] = o;
+#if PY_VERSION_HEX >= 0x030C0000
+    if (!_Py_IsImmortal(o)) Py_SET_REFCNT(o, Py_REFCNT(o) + n);
+#else
+    Py_SET_REFCNT(o, Py_REFCNT(o) + n);
+#endif
+}
+
 // Same fused pipeline as encode_ragged but materializes list[list[int]]
 // directly in C (one pass of PyLong construction instead of 10K numpy
 // .tolist() round-trips).  Flagged rows come back as None for the caller
@@ -2599,10 +2611,15 @@ static PyObject* ctok_py_frame_rows(PyObject*, PyObject* args) {
             else PyList_SET_ITEM(row, (Py_ssize_t)w, o);
         }
         int64_t pad_at = pad_left ? 0 : t;
-        for (int64_t k = 0; k < final_len - t && !fail; ++k) {
+        if (final_len > t && !fail) {
             PyObject* o = cached_long(pad_id);
-            if (!o) fail = true;
-            else PyList_SET_ITEM(row, (Py_ssize_t)(pad_at + k), o);
+            if (!o) {
+                fail = true;
+            } else {
+                Py_DECREF(o);  // fill_same manages the count itself
+                fill_same(((PyListObject*)row)->ob_item + pad_at, o,
+                          (Py_ssize_t)(final_len - t));
+            }
         }
         if (fail) {
             Py_DECREF(row);
@@ -2782,11 +2799,12 @@ static PyObject* ctok_py_mask_rows(PyObject*, PyObject* args) {
             PyObject* row = PyList_New((Py_ssize_t)f);
             if (!row) { ok = false; break; }
             int64_t ones_at = pad_left ? f - t : 0;
-            for (int64_t k = 0; k < f; ++k) {
-                PyObject* v = (k >= ones_at && k < ones_at + t) ? one : zero;
-                Py_INCREF(v);
-                PyList_SET_ITEM(row, (Py_ssize_t)k, v);
-            }
+            PyObject** item = ((PyListObject*)row)->ob_item;
+            if (ones_at > 0) fill_same(item, zero, (Py_ssize_t)ones_at);
+            fill_same(item + ones_at, one, (Py_ssize_t)t);
+            if (ones_at + t < f)
+                fill_same(item + ones_at + t, zero,
+                          (Py_ssize_t)(f - ones_at - t));
             PyList_SET_ITEM(rows, i, row);
         }
     } else {

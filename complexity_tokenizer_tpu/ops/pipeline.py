@@ -283,7 +283,14 @@ def build_encode_pipeline(tokenizer) -> EncodePipeline | None:
         return None
     from .tables import build_device_tables
 
-    tables = build_device_tables(tokenizer.bpe)
+    # the tables derive solely from the immutable merge/vocab state, so a
+    # pipeline invalidation (added tokens, config changes, a bench's cold
+    # reset) reuses them — the CHD build over a 50K-pair vocab is seconds
+    # of background CPU that would otherwise tax every cold start
+    tables = getattr(tokenizer.bpe, "_device_tables_cache", None)
+    if tables is None:
+        tables = build_device_tables(tokenizer.bpe)
+        tokenizer.bpe._device_tables_cache = tables
     if not tables.well_formed or tables.chd is None:
         return None
     return EncodePipeline(

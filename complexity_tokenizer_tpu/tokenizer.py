@@ -662,6 +662,8 @@ class Tokenizer:
                 rows = native.encode_rows_fused(
                     normalized, aps, pats, ascii_norm=ascii_norm
                 )
+                if wp is not None:
+                    wp.batch_done()  # background scan may start now
                 if rows is not None:
                     for i, r in enumerate(rows):
                         out[i] = (
@@ -786,6 +788,8 @@ class Tokenizer:
             fused = native.encode_ragged_fused(
                 normalized, aps, pats, ascii_norm=ascii_norm
             )
+            if wp is not None:
+                wp.batch_done()  # background scan may start now
             if fused is not None:
                 flat, row_offsets, flagged, nonascii = fused
                 if not flagged and not nonascii:
