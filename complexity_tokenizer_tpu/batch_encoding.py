@@ -260,6 +260,18 @@ class ColumnarBatchEncoding(BatchEncoding):
         if self._tensor_kind is not None:
             self._check_rect()
             L = int(self._final.max(initial=0))
+            from .native import load_ext
+
+            ext = load_ext()
+            if ext is not None and hasattr(ext, "mask_matrix"):
+                mask = np.empty((len(self._final), L), np.int32)
+                ext.mask_matrix(
+                    np.ascontiguousarray(self._t, np.int64),
+                    np.ascontiguousarray(self._final, np.int64),
+                    int(self._pad_left),
+                    mask,
+                )
+                return self._maybe_tensor(mask)
             pos = np.arange(L, dtype=np.int64)[None, :]
             t = np.asarray(self._t, np.int64)[:, None]
             f = np.asarray(self._final, np.int64)[:, None]

@@ -2174,6 +2174,38 @@ static inline PyObject* cached_long(int32_t v) {
     return o;
 }
 
+// Bulk row fill from an int32 id span: ensures every id's interned
+// PyLong exists once (slow path), then runs a tight load/INCREF/store
+// loop against the hoisted cache base — the per-element work drops to
+// two memory ops + a refcount bump.  Returns false on alloc failure
+// (caller owns row cleanup).
+static inline bool store_cached_longs(PyObject** dst, const int32_t* src,
+                                      int64_t n) {
+    // pass 1 (cheap in the common warm case): materialize missing entries
+    int64_t max_v = -1;
+    for (int64_t k = 0; k < n; ++k)
+        if (src[k] > max_v) max_v = src[k];
+    if (max_v >= 0 && max_v < (1 << 21) &&
+        (size_t)max_v >= g_long_cache.size())
+        g_long_cache.resize((size_t)max_v + 1024, nullptr);
+    PyObject** base = g_long_cache.data();
+    size_t cache_n = g_long_cache.size();
+    for (int64_t k = 0; k < n; ++k) {
+        int32_t v = src[k];
+        PyObject* o;
+        if ((uint32_t)v < cache_n && (o = base[(size_t)v]) != nullptr) {
+            Py_INCREF(o);
+        } else {
+            o = cached_long(v);
+            if (!o) return false;
+            base = g_long_cache.data();  // cached_long may resize
+            cache_n = g_long_cache.size();
+        }
+        dst[k] = o;
+    }
+    return true;
+}
+
 // Fill n list slots with the SAME object: pointer stores + one refcount
 // adjustment instead of n INCREFs.  Immortal objects (3.12 small ints)
 // keep their saturated refcount untouched.
@@ -2602,23 +2634,29 @@ static PyObject* ctok_py_frame_rows(PyObject*, PyObject* args) {
         }
         int64_t w = pad_left ? final_len - t : 0;
         bool fail = false;
-        for (int64_t k = 0; k < t && !fail; ++k, ++w) {
-            int32_t v = k < p ? prefix[(size_t)k]
-                       : k < p + nb ? flat[offs[i] + (k - p)]
-                                    : suffix[(size_t)(k - p - nb)];
-            PyObject* o = cached_long(v);
-            if (!o) fail = true;
-            else PyList_SET_ITEM(row, (Py_ssize_t)w, o);
-        }
+        // three straight segments (prefix | ids | suffix), each a tight
+        // interned-store loop — no per-element segment branch
+        PyObject** item = ((PyListObject*)row)->ob_item + w;
+        int64_t np_ = t < p ? t : p;
+        int64_t nid = t - p < nb ? (t - p > 0 ? t - p : 0) : nb;
+        int64_t ns = t - p - nb > 0 ? t - p - nb : 0;
+        if (!store_cached_longs(item, prefix.data(), np_) ||
+            !store_cached_longs(item + np_, flat + offs[i], nid) ||
+            !store_cached_longs(item + np_ + nid, suffix.data(), ns))
+            fail = true;
+        (void)w;
         int64_t pad_at = pad_left ? 0 : t;
         if (final_len > t && !fail) {
             PyObject* o = cached_long(pad_id);
             if (!o) {
                 fail = true;
             } else {
-                Py_DECREF(o);  // fill_same manages the count itself
+                // fill_same adds final_len-t refs; then drop ours (AFTER
+                // the fill — a fresh non-interned PyLong arrives at
+                // refcount 1 and an early DECREF would free it)
                 fill_same(((PyListObject*)row)->ob_item + pad_at, o,
                           (Py_ssize_t)(final_len - t));
+                Py_DECREF(o);
             }
         }
         if (fail) {
@@ -2823,7 +2861,58 @@ static PyObject* ctok_py_mask_rows(PyObject*, PyObject* args) {
     return rows;
 }
 
+// mask_matrix(t int64[n], final int64[n], pad_left, out int32[n, L]) ->
+// None: attention-mask rows written as int32 runs straight into the
+// caller's matrix (the tensor-mode twin of mask_rows — no bool
+// intermediate, no per-element Python work).  Positions past a row's
+// final length stay 0.
+static PyObject* ctok_py_mask_matrix(PyObject*, PyObject* args) {
+    PyObject *t_obj, *f_obj, *out_obj;
+    int pad_left;
+    if (!PyArg_ParseTuple(args, "OOiO", &t_obj, &f_obj, &pad_left, &out_obj))
+        return nullptr;
+    Py_buffer t_buf, f_buf, out_buf;
+    if (PyObject_GetBuffer(t_obj, &t_buf, PyBUF_C_CONTIGUOUS) < 0)
+        return nullptr;
+    if (PyObject_GetBuffer(f_obj, &f_buf, PyBUF_C_CONTIGUOUS) < 0) {
+        PyBuffer_Release(&t_buf);
+        return nullptr;
+    }
+    if (PyObject_GetBuffer(out_obj, &out_buf,
+                           PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) < 0) {
+        PyBuffer_Release(&t_buf);
+        PyBuffer_Release(&f_buf);
+        return nullptr;
+    }
+    const int64_t* ts = (const int64_t*)t_buf.buf;
+    const int64_t* fs = (const int64_t*)f_buf.buf;
+    int32_t* out = (int32_t*)out_buf.buf;
+    Py_ssize_t n = t_buf.len / (Py_ssize_t)sizeof(int64_t);
+    int64_t out_elems = (int64_t)(out_buf.len / (Py_ssize_t)sizeof(int32_t));
+    int64_t L = n > 0 ? out_elems / (int64_t)n : 0;
+    bool ok = f_buf.len == t_buf.len && (n == 0 || out_elems == (int64_t)n * L);
+    for (Py_ssize_t i = 0; i < n && ok; ++i) {
+        int64_t t = ts[i], f = fs[i];
+        if (t < 0 || f < t || f > L) { ok = false; break; }
+        int32_t* row = out + (int64_t)i * L;
+        std::fill(row, row + L, 0);
+        int64_t at = pad_left ? f - t : 0;
+        std::fill(row + at, row + at + t, 1);
+    }
+    PyBuffer_Release(&t_buf);
+    PyBuffer_Release(&f_buf);
+    PyBuffer_Release(&out_buf);
+    if (!ok) {
+        PyErr_SetString(PyExc_ValueError, "inconsistent mask_matrix input");
+        return nullptr;
+    }
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef CtokExtMethods[] = {
+    {"mask_matrix", ctok_py_mask_matrix, METH_VARARGS,
+     "mask_matrix(t int64[n], final int64[n], pad_left, out int32[n, L]) "
+     "-> None (fills the matrix in place)"},
     {"frame_matrix", ctok_py_frame_matrix, METH_VARARGS,
      "frame_matrix(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
      "pad_left, out) -> None (fills the [B, L] int32 buffer in place)"},
