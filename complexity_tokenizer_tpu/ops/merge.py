@@ -140,8 +140,13 @@ def merge_word_rows(tokens, disp, rows, table_size: int, n_buckets: int):
         t2 = jnp.where(killed, -1, t2)
         return t2, jnp.any(selected)
 
+    # initial carry derived from the data, not a literal True: under
+    # shard_map the loop's continue flag is varying over the mesh axis
+    # (each device's fixpoint ends on its own iteration), and a literal
+    # would be unvarying-typed, failing the carry-type check
+    always_true = jnp.any(tokens > jnp.int32(-2))
     tokens, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (tokens, jnp.array(True))
+        lambda s: s[1], body, (tokens, always_true)
     )
     count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=axis)
     return tokens, count
@@ -210,6 +215,8 @@ def merge_words(
     def cond(state):
         return state[1]
 
-    tokens, _ = jax.lax.while_loop(cond, body, (tokens, jnp.array(True)))
+    # data-derived initial carry: see merge_word_rows (shard_map varying)
+    always_true = jnp.any(tokens > jnp.int32(-2))
+    tokens, _ = jax.lax.while_loop(cond, body, (tokens, always_true))
     count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=axis)
     return tokens, count

@@ -42,9 +42,14 @@ __all__ = ["DeviceWordEncoder", "build_word_encoder"]
 # back to the native merge loop.
 _WORD_W = 128
 # row-count buckets: each [B, 128] shape compiles once (persistently
-# cached); packed rows hold ~16 natural words each, so the largest bucket
-# covers ~70K distinct words per device call
-_ROW_BUCKETS = (64, 256, 1024, 4096)
+# cached); packed rows hold ~16 natural words each.  1024 is deliberately
+# the LARGEST dispatch size: fills beyond it go out as pipelined
+# length-graded [1024, 128] packs, so each pack's fixpoint trips track its
+# own (sorted) word depth instead of the global deepest word — measured
+# 245 ms -> 146 ms for a 49K-word Zipf fill vs a single [4096, 128] pack
+# (the per-pack dispatch round trip amortizes across the in-flight packs;
+# see PROFILE.md "device fill cost model").
+_ROW_BUCKETS = (64, 256, 1024)
 
 
 class _FillResult:
@@ -199,38 +204,35 @@ class DeviceWordEncoder:
         # compiled if a compact-cap pack ever overflows
         return self._merge_fn(1, 1)
 
-    def _merge_fn(self, cap_num: int, cap_den: int):
-        """jit: (bytes [B,W] uint8, start_bits [B,W//8] uint8 little-
-        endian bitmap of word starts, row_len [B] int32 content length)
-        -> (ids [CAP] compacted, alive_bits [B,W//8], total int32).
+    @functools.cached_property
+    def _fn_sharded(self):
+        return self._merge_fn_sharded(self._CAP_NUM, self._CAP_DEN)
 
-        Packed rows are dense from column 0, so validity is a prefix
-        length and the segment marks compress to one bit per position.
-        Word ids are a flat running count of starts, so the segmented
-        merge kernel sees each packed word as one segment.
+    @functools.cached_property
+    def _fn_full_sharded(self):
+        return self._merge_fn_sharded(1, 1)
 
-        The merge result is compacted ON DEVICE (VERDICT r2 item 2): a
-        cumsum over the alive mask scatters live ids into a dense
-        [CAP = cap_num/cap_den·B·W] buffer (uint16 when ids fit — no
-        tombstones survive compaction) and the per-position liveness
-        comes back as a 1-bit/lane bitmap, so D2H carries ~2·ids +
-        B·W/8 bytes instead of the full 4-byte [B,W] tombstone matrix
-        (~6x at a 50K vocab).  Live ids beyond CAP are dropped by the
-        scatter; the host detects the spill from ``total`` and
-        redispatches that pack through the full-capacity variant."""
+    def _local_fill_body(self, cap_num: int, cap_den: int):
+        """The per-block fill body: (bytes [B,W] uint8, start_bits
+        [B,W//8], row_len [B] int32) -> fused uint8 buffer
+        [cap·itemsize ids ++ B·W/8 alive bits ++ 4-byte total].
+
+        Row-local by construction — a word never spans rows, word ids
+        are a running count of starts (only equality between adjacent
+        lanes matters, so a block-local count is as good as a global
+        one), and the sort-compaction orders by flat position within
+        the block.  This is what makes the sharded variant collective-
+        free: every device runs this same body on its row slice."""
         import jax
         import jax.numpy as jnp
 
-        from ..utils.jax_setup import setup_compilation_cache
         from .merge import merge_words
 
-        setup_compilation_cache()
         p = self.pipeline
         byte_token_table = p.byte_token_table
-
         narrow = self._out_dtype == np.uint16
 
-        def fn(bytes_bw, start_bits, row_len):
+        def body(bytes_bw, start_bits, row_len):
             B, W = bytes_bw.shape
             pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
             valid = pos < row_len[:, None]
@@ -277,7 +279,53 @@ class DeviceWordEncoder:
                 [ids_u8, alive_bits.reshape(-1), tot_u8]
             )
 
-        return jax.jit(fn)
+        return body
+
+    def _merge_fn(self, cap_num: int, cap_den: int):
+        """jit of the fill body (single-device: the whole pack is one
+        block).  See ``_local_fill_body`` for the contract and the
+        on-device compaction story (VERDICT r2 item 2)."""
+        import jax
+
+        from ..utils.jax_setup import setup_compilation_cache
+
+        setup_compilation_cache()
+        return jax.jit(self._local_fill_body(cap_num, cap_den))
+
+    def _merge_fn_sharded(self, cap_num: int, cap_den: int):
+        """shard_map twin of ``_merge_fn``: row blocks shard over the
+        mesh's ``data`` axis and every device compacts ITS rows locally
+        — zero collectives (the global-cumsum/global-sort form would
+        force cross-device data movement for an operation that is
+        row-independent by construction).  Output is the per-device
+        fused blocks concatenated: [n_dev · chunk_loc] uint8, split
+        back apart by ``_unpack_fused_sharded``."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        try:  # jax >= 0.4.35
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.shard_map import shard_map
+
+        from ..utils.jax_setup import setup_compilation_cache
+
+        setup_compilation_cache()
+        mesh = self.sharding.mesh
+        body = self._local_fill_body(cap_num, cap_den)
+        spec = P(*self.sharding.spec)
+
+        def local(bytes_bw, start_bits, row_len):
+            return body(bytes_bw, start_bits, row_len)
+
+        return jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=spec,
+            )
+        )
 
     # ------------------------------------------------------------------
     # packed device encode
@@ -365,6 +413,38 @@ class DeviceWordEncoder:
         total = int(raw[-4:].view(np.int32)[0])
         return out_ids, alive, total
 
+    def _unpack_fused_sharded(self, fused, B: int, cap_num: int,
+                              cap_den: int):
+        """Split a sharded fill's concatenated per-device blocks into
+        (ids concatenated in global row order, alive per-lane bits,
+        spilled).  Per-device block layout matches _unpack_fused with
+        B_loc = B/n_dev rows; devices hold contiguous row slices, so
+        concatenating per-device ids/alive in device order reproduces
+        exactly what the single-block form would have produced."""
+        raw = np.asarray(fused)
+        ndev = int(self.sharding.mesh.devices.size)
+        B_loc = B // ndev
+        isz = np.dtype(self._out_dtype).itemsize
+        cap_loc = B_loc * _WORD_W * cap_num // cap_den
+        chunk = cap_loc * isz + B_loc * _WORD_W // 8 + 4
+        ids_parts, alive_parts, spilled = [], [], False
+        for d in range(ndev):
+            blk = raw[d * chunk : (d + 1) * chunk]
+            ids = blk[: cap_loc * isz].view(self._out_dtype)
+            alive_parts.append(
+                np.unpackbits(blk[cap_loc * isz : -4], bitorder="little")
+            )
+            total = int(blk[-4:].view(np.int32)[0])
+            if total > cap_loc:
+                spilled = True
+                total = cap_loc
+            ids_parts.append(ids[:total])
+        return (
+            np.concatenate(ids_parts),
+            np.concatenate(alive_parts),
+            spilled,
+        )
+
     @staticmethod
     def _ragged_gather(src, starts, counts):
         """Concatenate src[starts[i] : starts[i]+counts[i]] for all i."""
@@ -425,39 +505,59 @@ class DeviceWordEncoder:
             # (rows are packed densely from column 0)
             bits = np.packbits(mk == 1, axis=1, bitorder="little")
             row_len = (mk > 0).sum(axis=1).astype(np.int32)
-            if self.sharding is not None:
+            sharded = (
+                self.sharding is not None
+                and B % int(self.sharding.mesh.devices.size) == 0
+            )
+            if sharded:
                 import jax
 
                 a = jax.device_put(a, self.sharding)
                 bits = jax.device_put(bits, self.sharding)
                 row_len = jax.device_put(row_len, self.sharding)
-            pending.append(
-                (self._fn(a, bits, row_len), starts, w_done, n_fit, B)
-            )
+                fused = self._fn_sharded(a, bits, row_len)
+            else:
+                fused = self._fn(a, bits, row_len)
+            pending.append((fused, starts, w_done, n_fit, B, sharded))
             spill_args[(w_done, n_fit)] = (a, bits, row_len)
             w_done += n_fit
         # harvest in dispatch order
         ids_parts: list[np.ndarray] = []
         counts_sorted = np.full(n, -1, np.int64)  # -1 = not covered
-        for fused, starts, w0, n_fit, B in pending:
-            cap = B * _WORD_W * self._CAP_NUM // self._CAP_DEN
-            out_ids, alive, total = self._unpack_fused(fused, cap)
+        for fused, starts, w0, n_fit, B, sharded in pending:
+            if sharded:
+                out_ids, alive, spilled = self._unpack_fused_sharded(
+                    fused, B, self._CAP_NUM, self._CAP_DEN
+                )
+            else:
+                cap = B * _WORD_W * self._CAP_NUM // self._CAP_DEN
+                out_ids, alive, total = self._unpack_fused(fused, cap)
+                spilled = total > cap
+                if not spilled:
+                    out_ids = out_ids[:total]
             cs = np.zeros(len(alive) + 1, np.int64)
             np.cumsum(alive, out=cs[1:])
             ln = work_lens[w0 : w0 + n_fit].astype(np.int64)
             w_end = cs[starts + ln]
             cnts = w_end - cs[starts]
-            if total > cap:
+            if spilled:
                 # compaction spill (poorly-compressible pack):
                 # redispatch this pack once through the full-capacity
                 # variant — coverage stays complete, the compact path
                 # stays the fast common case
-                out_ids, _alive2, total = self._unpack_fused(
-                    self._fn_full(*spill_args[(w0, n_fit)]),
-                    B * _WORD_W,
-                )
+                if sharded:
+                    out_ids, _alive2, _sp2 = self._unpack_fused_sharded(
+                        self._fn_full_sharded(*spill_args[(w0, n_fit)]),
+                        B, 1, 1,
+                    )
+                else:
+                    out_ids, _alive2, total = self._unpack_fused(
+                        self._fn_full(*spill_args[(w0, n_fit)]),
+                        B * _WORD_W,
+                    )
+                    out_ids = out_ids[:total]
             counts_sorted[w0 : w0 + n_fit] = cnts
-            ids_parts.append(out_ids[:total])
+            ids_parts.append(out_ids)
         ids_sorted = (
             np.concatenate(ids_parts)
             if ids_parts
