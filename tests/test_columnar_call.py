@@ -283,3 +283,73 @@ def test_frame_entry_points_reject_bad_offsets():
         out = np.empty((len(offs) - 1, 8), np.int32)
         with _pytest.raises(ValueError):
             ext.frame_matrix(flat, offs, [], [], -1, -1, 0, 0, out)
+
+
+def test_mask_matrix_matches_numpy_reference():
+    """The C mask_matrix (tensor-mode attention masks) must agree with the
+    arange-comparison form for both padding sides, including t == 0 and
+    t == final rows."""
+    import numpy as np
+    import pytest as _pytest
+
+    from complexity_tokenizer_tpu.native import load_ext
+
+    ext = load_ext()
+    if ext is None or not hasattr(ext, "mask_matrix"):
+        _pytest.skip("no C extension")
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        n = int(rng.randint(1, 12))
+        L = int(rng.randint(1, 20))
+        t = rng.randint(0, L + 1, size=n).astype(np.int64)
+        f = np.full(n, L, np.int64)
+        for pad_left in (0, 1):
+            out = np.empty((n, L), np.int32)
+            ext.mask_matrix(t, f, pad_left, out)
+            pos = np.arange(L, dtype=np.int64)[None, :]
+            want = (
+                pos >= (f[:, None] - t[:, None])
+                if pad_left
+                else pos < t[:, None]
+            ).astype(np.int32)
+            assert (out == want).all(), (trial, pad_left)
+
+
+def test_mask_matrix_rejects_bad_lengths():
+    import numpy as np
+    import pytest as _pytest
+
+    from complexity_tokenizer_tpu.native import load_ext
+
+    ext = load_ext()
+    if ext is None or not hasattr(ext, "mask_matrix"):
+        _pytest.skip("no C extension")
+    out = np.empty((2, 4), np.int32)
+    # t > final
+    with _pytest.raises(ValueError):
+        ext.mask_matrix(np.array([5, 1], np.int64),
+                        np.array([4, 4], np.int64), 0, out)
+    # final > L
+    with _pytest.raises(ValueError):
+        ext.mask_matrix(np.array([1, 1], np.int64),
+                        np.array([9, 9], np.int64), 0, out)
+
+
+def test_frame_rows_non_interned_pad_id():
+    """A pad id outside the intern cache range (e.g. negative) must come
+    back as a live, correct object in every pad slot (regression: the pad
+    fill once dropped its reference before the bulk fill consumed it)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from complexity_tokenizer_tpu.native import load_ext
+
+    ext = load_ext()
+    if ext is None or not hasattr(ext, "frame_rows"):
+        _pytest.skip("no C extension")
+    flat = np.arange(5, dtype=np.int32)
+    offs = np.array([0, 2, 5], np.int64)
+    for pad_id in (-9, 1 << 22):
+        rows = ext.frame_rows(flat, offs, [], [], -1, 6, pad_id, 0)
+        assert rows == [[0, 1, pad_id, pad_id, pad_id, pad_id],
+                        [2, 3, 4, pad_id, pad_id, pad_id]]

@@ -417,3 +417,30 @@ def test_distributed_trainer_two_process_cluster():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "MULTIPROC_OK" in out, out[-2000:]
+
+
+def test_sharded_word_fill_matches_unsharded():
+    """The shard_map fill (per-device local compaction, zero collectives)
+    must be bit-identical to the single-block form, including the
+    compaction-spill redispatch path."""
+    from complexity_tokenizer_tpu.parallel import data_mesh
+    from complexity_tokenizer_tpu.parallel.encode import shard_word_encoder
+
+    tok = trained_tokenizer()
+    wp = tok._get_word_path()
+    if wp is None:
+        pytest.skip("word path unavailable")
+    rng = np.random.RandomState(3)
+    n_w = 700
+    wlens = rng.randint(1, 14, size=n_w).astype(np.int32)
+    # low-merge random words: most bytes stay single tokens, so the
+    # compact 3/8 cap overflows and the spill redispatch is exercised
+    wbuf = (rng.randint(0, 26, size=int(wlens.sum())) + 97).astype(np.uint8)
+    ids_1, cnt_1 = wp._encode_words_packed(wbuf, wlens)
+    shard_word_encoder(wp, data_mesh())
+    try:
+        ids_n, cnt_n = wp._encode_words_packed(wbuf, wlens)
+    finally:
+        wp.sharding = None
+    assert cnt_n.tolist() == cnt_1.tolist()
+    assert ids_n.tolist() == ids_1.tolist()
