@@ -269,6 +269,7 @@ class ColumnarBatchEncoding(BatchEncoding):
                     np.ascontiguousarray(self._t, np.int64),
                     np.ascontiguousarray(self._final, np.int64),
                     int(self._pad_left),
+                    L,
                     mask,
                 )
                 return self._maybe_tensor(mask)

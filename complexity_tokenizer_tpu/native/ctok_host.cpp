@@ -2861,15 +2861,19 @@ static PyObject* ctok_py_mask_rows(PyObject*, PyObject* args) {
     return rows;
 }
 
-// mask_matrix(t int64[n], final int64[n], pad_left, out int32[n, L]) ->
-// None: attention-mask rows written as int32 runs straight into the
+// mask_matrix(t int64[n], final int64[n], pad_left, L, out int32[n, L])
+// -> None: attention-mask rows written as int32 runs straight into the
 // caller's matrix (the tensor-mode twin of mask_rows — no bool
 // intermediate, no per-element Python work).  Positions past a row's
-// final length stay 0.
+// final length stay 0.  L is the caller-stated row stride, validated
+// against the buffer (inferring it from out_elems/n would silently
+// accept a wrong-shaped buffer whose element count happens to divide).
 static PyObject* ctok_py_mask_matrix(PyObject*, PyObject* args) {
     PyObject *t_obj, *f_obj, *out_obj;
     int pad_left;
-    if (!PyArg_ParseTuple(args, "OOiO", &t_obj, &f_obj, &pad_left, &out_obj))
+    long long L_arg;
+    if (!PyArg_ParseTuple(args, "OOiLO", &t_obj, &f_obj, &pad_left, &L_arg,
+                          &out_obj))
         return nullptr;
     Py_buffer t_buf, f_buf, out_buf;
     if (PyObject_GetBuffer(t_obj, &t_buf, PyBUF_C_CONTIGUOUS) < 0)
@@ -2889,8 +2893,8 @@ static PyObject* ctok_py_mask_matrix(PyObject*, PyObject* args) {
     int32_t* out = (int32_t*)out_buf.buf;
     Py_ssize_t n = t_buf.len / (Py_ssize_t)sizeof(int64_t);
     int64_t out_elems = (int64_t)(out_buf.len / (Py_ssize_t)sizeof(int32_t));
-    int64_t L = n > 0 ? out_elems / (int64_t)n : 0;
-    bool ok = f_buf.len == t_buf.len && (n == 0 || out_elems == (int64_t)n * L);
+    int64_t L = (int64_t)L_arg;
+    bool ok = f_buf.len == t_buf.len && L >= 0 && out_elems == (int64_t)n * L;
     for (Py_ssize_t i = 0; i < n && ok; ++i) {
         int64_t t = ts[i], f = fs[i];
         if (t < 0 || f < t || f > L) { ok = false; break; }
@@ -2911,8 +2915,8 @@ static PyObject* ctok_py_mask_matrix(PyObject*, PyObject* args) {
 
 static PyMethodDef CtokExtMethods[] = {
     {"mask_matrix", ctok_py_mask_matrix, METH_VARARGS,
-     "mask_matrix(t int64[n], final int64[n], pad_left, out int32[n, L]) "
-     "-> None (fills the matrix in place)"},
+     "mask_matrix(t int64[n], final int64[n], pad_left, L, out int32[n, L])"
+     " -> None (fills the matrix in place)"},
     {"frame_matrix", ctok_py_frame_matrix, METH_VARARGS,
      "frame_matrix(flat, offs, prefix, suffix, trunc_len, pad_to, pad_id, "
      "pad_left, out) -> None (fills the [B, L] int32 buffer in place)"},

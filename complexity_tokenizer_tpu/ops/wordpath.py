@@ -120,8 +120,8 @@ class DeviceWordEncoder:
 
     # cap on distinct words per synchronous fill (the remainder of a large
     # novel batch is host-merged and cached by the native tier, so capping
-    # bounds latency without affecting results); the packed layout fits
-    # this in at most _ROW_BUCKETS[-1] rows
+    # bounds latency without affecting results); a fill this large goes
+    # out as multiple pipelined [_ROW_BUCKETS[-1], W] length-graded packs
     fill_cap = 65536
     # once warm, skip the miss scan and only sweep periodically — misses
     # between sweeps are handled (and cached) by the native merge loop.
@@ -150,8 +150,9 @@ class DeviceWordEncoder:
         self._pipeline_lock = threading.Lock()
         self.native = native
         # optional jax.sharding.NamedSharding for the word-matrix rows
-        # (parallel/encode.shard_word_encoder)
-        self.sharding = None
+        # (parallel/encode.shard_word_encoder); see the property below —
+        # (re)assignment invalidates the compiled sharded fns
+        self._sharding = None
         self._steady = False
         self._batches_since_sweep = 0
         self._sweep_cur = self.sweep_interval
@@ -171,6 +172,22 @@ class DeviceWordEncoder:
         # between a cold batch paying for the scan or not)
         self._serving_idle = threading.Event()
         self._serving_idle.set()
+
+    @property
+    def sharding(self):
+        return self._sharding
+
+    @sharding.setter
+    def sharding(self, value):
+        # the compiled sharded fills close over the mesh captured at first
+        # access and their per-device chunk layout is read back out by
+        # _unpack_fused_sharded from the CURRENT mesh — a stale compiled
+        # fill under a new mesh would silently corrupt ids, so any
+        # (re)assignment drops the cached compilations
+        if getattr(self, "_sharding", None) is not value:
+            self.__dict__.pop("_fn_sharded", None)
+            self.__dict__.pop("_fn_full_sharded", None)
+        self._sharding = value
 
     @property
     def pipeline(self):

@@ -15,9 +15,16 @@ def setup_compilation_cache(path: str | None = None) -> None:
     _done = True
     import jax
 
-    cache_dir = path or os.environ.get(
-        "CTOK_JAX_CACHE", os.path.expanduser("~/.cache/ctok_tpu_jax")
+    # default the persistent compile cache into the repo's own .cache/ —
+    # the bench/driver environment preserves the repo tree across runs but
+    # not necessarily $HOME, and a cold remote-compile service costs
+    # minutes per shape (VERDICT r3 item 2)
+    repo_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+        "ctok_jax",
     )
+    cache_dir = path or os.environ.get("CTOK_JAX_CACHE", repo_cache)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

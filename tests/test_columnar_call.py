@@ -305,7 +305,7 @@ def test_mask_matrix_matches_numpy_reference():
         f = np.full(n, L, np.int64)
         for pad_left in (0, 1):
             out = np.empty((n, L), np.int32)
-            ext.mask_matrix(t, f, pad_left, out)
+            ext.mask_matrix(t, f, pad_left, L, out)
             pos = np.arange(L, dtype=np.int64)[None, :]
             want = (
                 pos >= (f[:, None] - t[:, None])
@@ -328,11 +328,17 @@ def test_mask_matrix_rejects_bad_lengths():
     # t > final
     with _pytest.raises(ValueError):
         ext.mask_matrix(np.array([5, 1], np.int64),
-                        np.array([4, 4], np.int64), 0, out)
+                        np.array([4, 4], np.int64), 0, 4, out)
     # final > L
     with _pytest.raises(ValueError):
         ext.mask_matrix(np.array([1, 1], np.int64),
-                        np.array([9, 9], np.int64), 0, out)
+                        np.array([9, 9], np.int64), 0, 4, out)
+    # caller-stated L inconsistent with the out buffer (the ADVICE r3
+    # case: a wrong-shaped buffer whose element count happens to divide
+    # by n must be rejected, not silently reinterpreted)
+    with _pytest.raises(ValueError):
+        ext.mask_matrix(np.array([1, 1], np.int64),
+                        np.array([2, 2], np.int64), 0, 2, out)
 
 
 def test_frame_rows_non_interned_pad_id():
