@@ -14,7 +14,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["PairHashTable", "build_pair_table", "INF_RANK"]
+__all__ = [
+    "PairHashTable",
+    "build_pair_table",
+    "INF_RANK",
+    "QcTable",
+    "build_qc_table",
+    "qc_lookup_jnp",
+]
 
 INF_RANK = np.int32(0x3FFFFFFF)
 
@@ -155,6 +162,154 @@ def _try_build_chd(merge_ranks, merge_ops, size: int) -> ChdTable | None:
         if not placed:
             return None
     return ChdTable(disp, rows, size, n_buckets)
+
+
+@dataclass
+class QcTable:
+    """Quotient-cuckoo pair table: ONE u32 gather per probe, two
+    independent probes per lookup (round-4 merge-kernel redesign).
+
+    Each slot packs ``quotient << 16 | rank`` where quotient is the high
+    16 bits of an INVERTIBLE 32-bit hash of the packed key
+    ``a << 16 | b`` and the slot index is the low 16 bits — so
+    (slot, quotient) equality is exact key equality (the hash is a
+    bijection on u32), no stored key needed.  The minted id is affine in
+    rank (``new_id = base + rank``, verified at build), so the lookup
+    returns (rank, minted) from 2 independent 1-element gathers vs the
+    CHD form's serial displacement->row chain gathering 5 elements —
+    measured 3.4x cheaper per merge-kernel iteration on a v5e chip
+    (scripts/kernel_exp.py; PROFILE.md round 4).
+
+    Eligibility: token ids < 65536, ranks < 65535, minted ids affine in
+    rank.  Anything else falls back to :class:`ChdTable`.
+    """
+
+    t1: np.ndarray  # [65536] u32: quotient<<16 | rank (0xFFFFFFFF empty)
+    t2: np.ndarray  # [65536] u32
+    base: int  # minted id = base + rank
+
+
+_QC_M = 65536  # slots per table: fixed so quotient is exactly 16 bits
+
+
+def _qc_hash_np(k32: np.ndarray, which: int) -> np.ndarray:
+    """Invertible u32 mix (odd multiplies + xorshifts), numpy side."""
+    x = k32.astype(np.uint64)
+    M = np.uint64(0xFFFFFFFF)
+    x = (x * np.uint64(0x9E3779B1 if which == 0 else 0x85EBCA77)) & M
+    x = x ^ (x >> np.uint64(16))
+    x = (x * np.uint64(0x7FEB352D if which == 0 else 0x45D9F3B3)) & M
+    x = x ^ (x >> np.uint64(15))
+    return x.astype(np.uint32)
+
+
+def _qc_hash_jnp(k32, which: int):
+    """Device twin of :func:`_qc_hash_np` (bit-identical)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    x = k32
+    x = x * (np.uint32(0x9E3779B1) if which == 0 else np.uint32(0x85EBCA77))
+    x = x ^ (x >> np.uint32(16))
+    x = x * (np.uint32(0x7FEB352D) if which == 0 else np.uint32(0x45D9F3B3))
+    x = x ^ (x >> np.uint32(15))
+    return x
+
+
+def build_qc_table(
+    merge_ranks: dict[tuple[int, int], int], merge_ops: dict
+) -> QcTable | None:
+    """Quotient-cuckoo build (random-walk insertion); None if ineligible
+    (ids/ranks out of u16 range, minted ids not affine in rank, or the
+    walk fails — the caller keeps the CHD fallback)."""
+    n = len(merge_ranks)
+    if n == 0 or n > 0xFFFE:
+        return None
+    base = None
+    for r, (_ab, new_id) in merge_ops.items():
+        if base is None:
+            base = new_id - r
+        elif new_id - r != base:
+            return None
+    if base is None:
+        return None
+    keys = list(merge_ranks.keys())
+    a_arr = np.array([k[0] for k in keys], np.int64)
+    b_arr = np.array([k[1] for k in keys], np.int64)
+    # ranks are sparse (skipped merges keep original enumeration indices,
+    # core/bpe.py build_merge_tables) — the 16-bit slot field needs the
+    # MAX rank in range, not just the count
+    max_rank = max(merge_ranks.values())
+    if (
+        a_arr.min() < 0
+        or b_arr.min() < 0
+        or a_arr.max() >= 0x10000
+        or b_arr.max() >= 0x10000
+        or max_rank >= 0xFFFF
+        or base + max_rank >= 0x80000000
+    ):
+        return None
+    k32 = ((a_arr << 16) | b_arr).astype(np.uint32)
+    h1 = _qc_hash_np(k32, 0)
+    h2 = _qc_hash_np(k32, 1)
+    s1 = (h1 & np.uint32(_QC_M - 1)).tolist()
+    q1 = (h1 >> np.uint32(16)).tolist()
+    s2 = (h2 & np.uint32(_QC_M - 1)).tolist()
+    q2 = (h2 >> np.uint32(16)).tolist()
+    ranks = [merge_ranks[k] for k in keys]
+    info: dict[int, tuple[int, int, int, int, int]] = {}
+    for i in range(n):
+        info[int(k32[i])] = (s1[i], q1[i], s2[i], q2[i], ranks[i])
+    occ0: list[int | None] = [None] * _QC_M
+    occ1: list[int | None] = [None] * _QC_M
+    for k in info:
+        cur: int | None = k
+        side = 0
+        for _ in range(500):
+            e = info[cur]
+            pos = e[0] if side == 0 else e[2]
+            occ = occ0 if side == 0 else occ1
+            cur, occ[pos] = occ[pos], cur
+            if cur is None:
+                break
+            side = 1 - side
+        if cur is not None:
+            return None  # walk failed (vanishingly rare at this load)
+    t = np.full((2, _QC_M), 0xFFFFFFFF, dtype=np.uint32)
+    for side, occ in ((0, occ0), (1, occ1)):
+        for pos, k in enumerate(occ):
+            if k is not None:
+                e = info[k]
+                q = e[1] if side == 0 else e[3]
+                t[side, pos] = (q << 16) | e[4]
+    return QcTable(t[0], t[1], int(base))
+
+
+def qc_lookup_jnp(t1, t2, base: int, a, b, valid):
+    """(rank, minted) via the quotient-cuckoo table: 2 INDEPENDENT
+    1-element gathers (they overlap on-chip; the CHD form's two gathers
+    are serially dependent)."""
+    import jax.numpy as jnp
+
+    k = (a.astype(jnp.uint32) << 16) | b.astype(jnp.uint32)
+    h1 = _qc_hash_jnp(k, 0)
+    h2 = _qc_hash_jnp(k, 1)
+    e1 = t1[(h1 & np.uint32(0xFFFF)).astype(jnp.int32)]
+    e2 = t2[(h2 & np.uint32(0xFFFF)).astype(jnp.int32)]
+    r1 = e1 & np.uint32(0xFFFF)
+    r2 = e2 & np.uint32(0xFFFF)
+    # rank 0xFFFF is reserved for empty slots (build caps n <= 0xFFFE),
+    # so an empty slot can never satisfy the hit test
+    hit1 = ((e1 >> np.uint32(16)) == (h1 >> np.uint32(16))) & (
+        r1 != np.uint32(0xFFFF)
+    ) & valid
+    hit2 = ((e2 >> np.uint32(16)) == (h2 >> np.uint32(16))) & (
+        r2 != np.uint32(0xFFFF)
+    ) & valid
+    r = jnp.where(hit1, r1, r2).astype(jnp.int32)
+    hit = hit1 | hit2
+    rank = jnp.where(hit, r, INF_RANK)
+    minted = r + np.int32(base)
+    return rank, minted
 
 
 def mix_hash2_jnp(a, b, mask: int):

@@ -38,9 +38,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .hashtable import INF_RANK, chd_lookup_rows_jnp
+from .hashtable import INF_RANK, chd_lookup_rows_jnp, qc_lookup_jnp
 
-__all__ = ["merge_words", "merge_word_rows", "seed_tokens"]
+__all__ = [
+    "merge_words",
+    "merge_words_qc",
+    "merge_word_rows",
+    "merge_word_rows_qc",
+    "seed_tokens",
+]
 
 
 def _shift_left(x, fill):
@@ -106,19 +112,11 @@ def seed_tokens(byte_arr, word_id, valid, byte_token_table):
     return tokens, word_id
 
 
-@functools.partial(jax.jit, static_argnames=("table_size", "n_buckets"))
-def merge_word_rows(tokens, disp, rows, table_size: int, n_buckets: int):
-    """merge_words specialized for the word-flattened layout (one word per
-    row, ops/wordpath.py): no word-id carries, and the per-word minimum
-    rank is a plain row reduction instead of two segmented scans — the
-    fixpoint body drops from three multi-carry scans to one carry scan,
-    one boolean carry and a reduce.
-
-    Args:
-      tokens: [B, W] int32, -1 = tombstone/pad; row = one word.
-    Returns:
-      (tokens, count) as merge_words.
-    """
+def _word_rows_fixpoint(tokens, lookup):
+    """Shared fixpoint for the word-flattened layout (one word per row):
+    no word-id carries, and the per-word minimum rank is a plain row
+    reduction instead of two segmented scans.  ``lookup(a, b, valid) ->
+    (rank, minted)`` is the pair-table probe (CHD or quotient-cuckoo)."""
     axis = tokens.ndim - 1
 
     def body(state):
@@ -127,9 +125,7 @@ def merge_word_rows(tokens, disp, rows, table_size: int, n_buckets: int):
         tn_incl = _carry_first(t, alive, axis)
         t_next = _shift_left(tn_incl, jnp.int32(-1))
         pair_valid = alive & (t_next >= 0)
-        r, minted = chd_lookup_rows_jnp(
-            disp, rows, table_size, n_buckets, t, t_next, pair_valid
-        )
+        r, minted = lookup(t, t_next, pair_valid)
         rowmin = jnp.min(r, axis=axis, keepdims=True)
         is_best = (r == rowmin) & (rowmin < INF_RANK) & pair_valid
         # overlapping-run resolution (a==b runs): leading occurrence wins
@@ -153,21 +149,43 @@ def merge_word_rows(tokens, disp, rows, table_size: int, n_buckets: int):
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "n_buckets"))
-def merge_words(
-    tokens,
-    wid,
-    disp,
-    rows,
-    table_size: int,
-    n_buckets: int,
-):
-    """Run the merge loop to fixpoint on the tombstone layout.
+def merge_word_rows(tokens, disp, rows, table_size: int, n_buckets: int):
+    """Word-flattened merge fixpoint over a CHD pair table.
+
+    Args:
+      tokens: [B, W] int32, -1 = tombstone/pad; row = one word.
+    Returns:
+      (tokens, count) as merge_words.
+    """
+
+    def lookup(a, b, valid):
+        return chd_lookup_rows_jnp(
+            disp, rows, table_size, n_buckets, a, b, valid
+        )
+
+    return _word_rows_fixpoint(tokens, lookup)
+
+
+@functools.partial(jax.jit, static_argnames=("base",))
+def merge_word_rows_qc(tokens, t1, t2, base: int):
+    """Word-flattened merge fixpoint over a quotient-cuckoo pair table
+    (two independent 1-element gathers per probe; see ops/hashtable.py
+    QcTable for why this is ~3x cheaper per iteration than the CHD
+    form's serial displacement->row chain)."""
+
+    def lookup(a, b, valid):
+        return qc_lookup_jnp(t1, t2, base, a, b, valid)
+
+    return _word_rows_fixpoint(tokens, lookup)
+
+
+def _segmented_fixpoint(tokens, wid, lookup):
+    """Shared segmented merge fixpoint on the tombstone layout.
 
     Args:
       tokens: [B, L] int32, -1 = tombstone/pad, positions never move.
       wid: [B, L] int32 static word ids (-1 past end).
-      disp: [n_buckets] int32 CHD displacements.
-      rows: [table_size, 4] int32 (key_a, key_b, rank, new_id).
+      lookup: (a, b, valid) -> (rank, minted) pair-table probe.
     Returns:
       (tokens, count): scattered ids (-1 tombstones, original order) and
       per-row live counts.
@@ -198,9 +216,7 @@ def merge_words(
         t_next = _shift_left(tn_incl, jnp.int32(-1))
         w_next = _shift_left(wn_incl, jnp.int32(-3))
         pair_valid = alive & (t_next >= 0) & (w_next == wid) & (wid >= 0)
-        r, minted = chd_lookup_rows_jnp(
-            disp, rows, table_size, n_buckets, t, t_next, pair_valid
-        )
+        r, minted = lookup(t, t_next, pair_valid)
         segmin = _segmin(r)
         is_best = (r == segmin) & (segmin < INF_RANK) & pair_valid
         # overlapping-run resolution: suppress a match whose chain-previous
@@ -215,8 +231,43 @@ def merge_words(
     def cond(state):
         return state[1]
 
-    # data-derived initial carry: see merge_word_rows (shard_map varying)
+    # data-derived initial carry: see _word_rows_fixpoint (shard_map)
     always_true = jnp.any(tokens > jnp.int32(-2))
     tokens, _ = jax.lax.while_loop(cond, body, (tokens, always_true))
     count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=axis)
     return tokens, count
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "n_buckets"))
+def merge_words(
+    tokens,
+    wid,
+    disp,
+    rows,
+    table_size: int,
+    n_buckets: int,
+):
+    """Segmented merge fixpoint over a CHD pair table (fallback form;
+    see :func:`merge_words_qc` for the fast path)."""
+
+    def lookup(a, b, valid):
+        return chd_lookup_rows_jnp(
+            disp, rows, table_size, n_buckets, a, b, valid
+        )
+
+    return _segmented_fixpoint(tokens, wid, lookup)
+
+
+@functools.partial(jax.jit, static_argnames=("base",))
+def merge_words_qc(tokens, wid, t1, t2, base: int):
+    """Segmented merge fixpoint over a quotient-cuckoo pair table: the
+    production device form when the table is eligible (u16 ids/ranks,
+    affine minted ids — every standard trained/loaded BPE).  Replaces
+    the reference hot loop bpe.rs:104-153; the probe is 2 independent
+    1-element gathers vs CHD's serial 5-element chain (~3x cheaper per
+    iteration on-chip, PROFILE.md round 4)."""
+
+    def lookup(a, b, valid):
+        return qc_lookup_jnp(t1, t2, base, a, b, valid)
+
+    return _segmented_fixpoint(tokens, wid, lookup)

@@ -79,8 +79,30 @@ class EncodePipeline:
         self.rows = jnp.asarray(tables.chd.rows)
         self.table_size = tables.chd.size
         self.n_buckets = tables.chd.n_buckets
+        # quotient-cuckoo fast path (round 4); None -> CHD fallback
+        if tables.qc is not None:
+            self.qc_t1 = jnp.asarray(tables.qc.t1)
+            self.qc_t2 = jnp.asarray(tables.qc.t2)
+            self.qc_base = tables.qc.base
+        else:
+            self.qc_t1 = self.qc_t2 = None
+            self.qc_base = None
         self.sharding = sharding  # optional jax.sharding.NamedSharding for batch
         self.n_devices = 1
+
+    def merge_fixpoint(self, tokens, wid):
+        """The segmented merge fixpoint over this pipeline's pair table
+        (quotient-cuckoo when eligible, CHD otherwise) — the one entry
+        point every device encode body shares."""
+        from .merge import merge_words, merge_words_qc
+
+        if self.qc_t1 is not None:
+            return merge_words_qc(
+                tokens, wid, self.qc_t1, self.qc_t2, self.qc_base
+            )
+        return merge_words(
+            tokens, wid, self.disp, self.rows, self.table_size, self.n_buckets
+        )
 
     @functools.cached_property
     def _class_table(self):
@@ -96,7 +118,7 @@ class EncodePipeline:
 
         setup_compilation_cache()
 
-        from .merge import merge_words, seed_tokens
+        from .merge import seed_tokens
         from .presplit import presplit
 
         # evaluate the table eagerly — creating it lazily inside the trace
@@ -106,14 +128,7 @@ class EncodePipeline:
         def fn(byte_arr, lengths):
             start, word_id, valid = presplit(byte_arr, lengths, class_table)
             tokens, wid = seed_tokens(byte_arr, word_id, valid, self.byte_token_table)
-            return merge_words(
-                tokens,
-                wid,
-                self.disp,
-                self.rows,
-                self.table_size,
-                self.n_buckets,
-            )
+            return self.merge_fixpoint(tokens, wid)
 
         return jax.jit(fn)
 

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..core.bpe import BpeTokenizer, merges_well_formed
 from ..utils.bytelevel import bytes_to_unicode
-from .hashtable import ChdTable, build_chd_table
+from .hashtable import ChdTable, QcTable, build_chd_table, build_qc_table
 
 __all__ = ["DeviceTables", "build_device_tables"]
 
@@ -24,6 +24,12 @@ class DeviceTables:
     byte_token_table: np.ndarray  # [256] int32; -1 = OOV byte (dropped)
     chd: ChdTable | None
     well_formed: bool
+    # quotient-cuckoo form (round 4): the preferred merge-kernel table —
+    # one u32 per slot, two independent gathers per probe (~3x cheaper
+    # per fixpoint iteration than the CHD chain).  None when ineligible
+    # (u16 overflow / non-affine minted ids); the CHD stays the fallback
+    # and serves the wordpiece/unigram token-lookup kernels.
+    qc: QcTable | None = None
 
 
 def build_device_tables(bpe: BpeTokenizer) -> DeviceTables:
@@ -37,4 +43,5 @@ def build_device_tables(bpe: BpeTokenizer) -> DeviceTables:
 
     chd = build_chd_table(bpe.merge_ranks, bpe.merge_ops)
     wf = merges_well_formed(bpe.merge_ranks, bpe.merge_ops)
-    return DeviceTables(byte_token, chd, wf)
+    qc = build_qc_table(bpe.merge_ranks, bpe.merge_ops)
+    return DeviceTables(byte_token, chd, wf, qc)

@@ -243,8 +243,6 @@ class DeviceWordEncoder:
         import jax
         import jax.numpy as jnp
 
-        from .merge import merge_words
-
         p = self.pipeline
         byte_token_table = p.byte_token_table
         narrow = self._out_dtype == np.uint16
@@ -262,9 +260,8 @@ class DeviceWordEncoder:
             wid = jnp.where(valid, wid, -1)
             tokens = byte_token_table[bytes_bw.astype(jnp.int32)]
             tokens = jnp.where(valid, tokens, -1)
-            merged, _counts = merge_words(
-                tokens, wid, p.disp, p.rows, p.table_size, p.n_buckets
-            )
+            # quotient-cuckoo table when eligible, CHD fallback otherwise
+            merged, _counts = p.merge_fixpoint(tokens, wid)
             alive = merged >= 0
             aflat = alive.reshape(-1)
             cum = jnp.cumsum(aflat.astype(jnp.int32))

@@ -476,3 +476,97 @@ def test_packed_device_merge_large_ids():
     for w, word in enumerate(words):
         exp = wp.native.encode(word)
         assert ids[bounds[w] : bounds[w + 1]].tolist() == exp, word
+
+
+def test_qc_table_lookup_parity(tok, pipeline):
+    """Quotient-cuckoo probe == merge_ranks dict on every key, INF on
+    misses (ops/hashtable.py QcTable; round-4 merge-kernel redesign)."""
+    import jax.numpy as jnp
+
+    from complexity_tokenizer_tpu.ops.hashtable import (
+        INF_RANK,
+        build_qc_table,
+        qc_lookup_jnp,
+    )
+
+    mr = tok.bpe.merge_ranks
+    qc = build_qc_table(mr, tok.bpe.merge_ops)
+    assert qc is not None, "trained tokenizer should be qc-eligible"
+    keys = list(mr.keys())
+    a = jnp.asarray(np.array([k[0] for k in keys], np.int32))
+    b = jnp.asarray(np.array([k[1] for k in keys], np.int32))
+    t1 = jnp.asarray(qc.t1)
+    t2 = jnp.asarray(qc.t2)
+    valid = jnp.ones(len(keys), bool)
+    rank, minted = qc_lookup_jnp(t1, t2, qc.base, a, b, valid)
+    rank = np.asarray(rank)
+    minted = np.asarray(minted)
+    for i, k in enumerate(keys):
+        assert rank[i] == mr[k]
+        assert minted[i] == tok.bpe.merge_ops[mr[k]][1]
+    # misses: random pairs not in the table -> INF_RANK
+    rng = np.random.RandomState(0)
+    miss = []
+    while len(miss) < 500:
+        p = (int(rng.randint(0, 1000)), int(rng.randint(0, 1000)))
+        if p not in mr:
+            miss.append(p)
+    ma = jnp.asarray(np.array([p[0] for p in miss], np.int32))
+    mb = jnp.asarray(np.array([p[1] for p in miss], np.int32))
+    mrank, _ = qc_lookup_jnp(t1, t2, qc.base, ma, mb, jnp.ones(len(miss), bool))
+    assert (np.asarray(mrank) == INF_RANK).all()
+    # ~valid masks everything
+    vrank, _ = qc_lookup_jnp(t1, t2, qc.base, a, b, jnp.zeros(len(keys), bool))
+    assert (np.asarray(vrank) == INF_RANK).all()
+
+
+def test_qc_table_ineligible_falls_back():
+    """Non-affine minted ids / out-of-range ranks refuse the qc form."""
+    from complexity_tokenizer_tpu.ops.hashtable import build_qc_table
+
+    # non-affine: rank 0 -> id 10, rank 1 -> id 99
+    assert (
+        build_qc_table(
+            {(1, 2): 0, (3, 4): 1},
+            {0: ((1, 2), 10), 1: ((3, 4), 99)},
+        )
+        is None
+    )
+    # rank beyond u16
+    assert (
+        build_qc_table({(1, 2): 0x10000}, {0x10000: ((1, 2), 0x10005)})
+        is None
+    )
+    # token id beyond u16
+    assert (
+        build_qc_table({(70000, 2): 0}, {0: ((70000, 2), 70001)}) is None
+    )
+
+
+def test_merge_words_qc_matches_chd(tok, pipeline):
+    """The qc and CHD fixpoints are bit-identical on a packed batch."""
+    import jax.numpy as jnp
+
+    from complexity_tokenizer_tpu.ops.merge import merge_words, merge_words_qc
+
+    assert pipeline.qc_t1 is not None
+    rng = np.random.RandomState(3)
+    btt = np.asarray(pipeline.byte_token_table)
+    letters = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", np.uint8)
+    raw = letters[rng.randint(0, 27, size=(16, 128))]
+    toks = btt[raw.astype(np.int32)]
+    # word ids from the spaces (simple segmentation for the test)
+    wid = np.cumsum(raw == ord(" "), axis=1).astype(np.int32)
+    valid = np.ones_like(toks, bool)
+    toks = np.where(valid, toks, -1).astype(np.int32)
+    t = jnp.asarray(toks)
+    w = jnp.asarray(wid)
+    out_chd, cnt_chd = merge_words(
+        t, w, pipeline.disp, pipeline.rows, pipeline.table_size,
+        pipeline.n_buckets,
+    )
+    out_qc, cnt_qc = merge_words_qc(
+        t, w, pipeline.qc_t1, pipeline.qc_t2, pipeline.qc_base
+    )
+    assert (np.asarray(out_chd) == np.asarray(out_qc)).all()
+    assert (np.asarray(cnt_chd) == np.asarray(cnt_qc)).all()
