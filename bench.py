@@ -35,7 +35,7 @@ from pathlib import Path
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE = Path(__file__).parent / ".cache"
-TOKENIZER_JSON = CACHE / "bench_tokenizer_r3_50k.json"
+TOKENIZER_JSON = CACHE / "bench_tokenizer_r4_50k.json"
 VOCAB_SIZE = 50_000
 LEXICON_SIZE = 50_000
 N_TEXTS = 10_000
@@ -194,12 +194,24 @@ def _time_best(fn, n=5):
 # exceeds the remaining budget is skipped with an honest device_error /
 # device_busy marker; nothing is backfilled.  The async auto fill itself
 # is non-blocking by design and needs no budget.
+#
+# The budget is PARTITIONED per stage (VERDICT r3 item 2): the chip
+# measurement (`_device_detail`, small bucket first) runs FIRST and owns
+# the largest slice, so a fresh on-chip number + the device exactness
+# gate land in every BENCH even when one cold compile eats minutes;
+# later stages get capped slices of whatever remains instead of one
+# stage starving all of them.
 _DEVICE_BUDGET_S = 420.0
 _budget_t0 = time.monotonic()
 
 
 def _budget_left() -> float:
     return max(0.0, _DEVICE_BUDGET_S - (time.monotonic() - _budget_t0))
+
+
+def _stage_budget(cap: float) -> float:
+    """A stage's slice: at most ``cap``, never more than what remains."""
+    return min(cap, _budget_left())
 
 
 def _budgeted(fn, seconds):
@@ -326,6 +338,46 @@ def _device_detail(tok, texts, detail):
         detail["device_large_bucket_skipped"] = "device budget low"
 
 
+def _device_trainer_detail(texts, detail):
+    """Mesh trainer on the real chip (VERDICT r3 item 5): ms/merge for
+    the distributed INL trainer on an n=1 TPU mesh — the same code path
+    the 8-device dryrun scales out, measured on real hardware.  Two runs
+    (v0+50 and v0+250 merges) difference out the shared count/seed-hist
+    cost so the number is the marginal per-merge step time."""
+    import contextlib
+    import io
+
+    import jax
+
+    detail["device_train_backend"] = jax.default_backend()
+    from complexity_tokenizer_tpu.parallel.trainer import (
+        DistributedInlTrainer,
+    )
+    from complexity_tokenizer_tpu.trainers.inl_trainer import TrainerConfig
+
+    corpus = texts[:600]
+
+    def run(extra_merges: int) -> tuple[float, int]:
+        tr = DistributedInlTrainer(
+            TrainerConfig(
+                vocab_size=256 + extra_merges, min_frequency=1
+            )
+        )
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()):
+            tr.train_from_texts(corpus)
+        return time.perf_counter() - t0, len(tr.merges)
+
+    t_small, m_small = run(50)
+    t_big, m_big = run(250)
+    if m_big > m_small:
+        detail["device_train_ms_per_merge"] = round(
+            (t_big - t_small) * 1e3 / (m_big - m_small), 3
+        )
+    detail["device_train_merges"] = m_big
+    detail["device_train_total_s"] = round(t_big, 3)
+
+
 def main():
     tok = build_tokenizer()
     texts = bench_texts()
@@ -335,6 +387,52 @@ def main():
     detail["corpus_distinct_words"] = len(
         {w for t in texts for w in t.split()}
     )
+    # vocabulary warm-start cost (paid once at native-context build; the
+    # cold measurements below show what it buys)
+    if tok._get_native_encoder() is not None:
+        detail["warm_start_ms"] = round(
+            getattr(tok, "_warm_start_s", 0.0) * 1e3, 2
+        )
+
+    # chip measurement FIRST (VERDICT r3 item 2): the small-bucket merge
+    # rate + the device exactness gate must land in every BENCH run even
+    # under a cold remote-compile service; everything downstream also
+    # reuses the shapes this stage compiles
+    dev_detail: dict = {}
+    _, err = _budgeted(
+        lambda: _device_detail(tok, texts, dev_detail), _stage_budget(240)
+    )
+    for _ in range(3):
+        try:
+            detail.update(dict(dev_detail))
+            break
+        except RuntimeError:  # pragma: no cover — size changed mid-copy
+            continue
+    if err is not None:
+        detail["device_error"] = str(err)[:200]
+    for k in (
+        "device_first_fill_s",
+        "device_words_filled",
+        "device_merge_words_per_s",
+        "device_novel_bytes_per_s",
+    ):
+        if k not in detail and k + "_64rows" in detail:
+            detail[k] = detail[k + "_64rows"]
+
+    # distributed trainer on the real chip (VERDICT r3 item 5): a short
+    # mesh-trainer run (n=1 mesh on TPU) measuring ms/merge
+    tr_detail: dict = {}
+    _, tr_err = _budgeted(
+        lambda: _device_trainer_detail(texts, tr_detail), _stage_budget(90)
+    )
+    for _ in range(3):
+        try:
+            detail.update(dict(tr_detail))
+            break
+        except RuntimeError:  # pragma: no cover
+            continue
+    if tr_err is not None:
+        detail["device_train_error"] = str(tr_err)[:200]
 
     # parity gates (exactness is the product): ~435 ASCII rows + the full
     # multilingual/NFC conformance corpus (BASELINE configs 3 & 4), both
@@ -344,14 +442,14 @@ def main():
         tok, sample, tok.encode_batch(sample)
     )
     multi = _multi_corpus()
-    # device-merge the multilingual corpus' distinct words FIRST (multi-
-    # byte UTF-8 through the packed fill), so the parity gates below are
+    # device-merge the multilingual corpus' distinct words (multi-byte
+    # UTF-8 through the packed fill), so the parity gates below are
     # served through chip-computed cache entries
     wp_sync = tok._get_word_path()
     if wp_sync is not None:
         mdata = tok._prepare_bytes(tok._normalize_batch(multi))
         n_filled, err = _budgeted(
-            lambda: wp_sync.fill_caches(mdata), _budget_left()
+            lambda: wp_sync.fill_caches(mdata), _stage_budget(100)
         )
         if err is None:
             detail["device_multi_words_filled"] = n_filled
@@ -386,13 +484,58 @@ def main():
         tok, multi, tok.encode_batch(multi)
     )
 
-    # cold word-cache run (fresh native context, auto fill restarts too)
-    tok._invalidate_pipeline()
+    # cold run: a FRESH `from_file` tokenizer serving its first batch —
+    # load (json parse + native build + warm-cache bulk load, reported
+    # as cold_load_ms) is the one-time cost a process pays once; the
+    # first batch after it is what "cold throughput" means to a user.
+    # The warm cache is the trainer-emitted artifact (vocab + counted
+    # corpus words pre-merged at save time, tokenizer.export_warm_cache)
+    # — corpus knowledge the trainer already paid for, shipped with the
+    # model instead of re-merged per process as the reference does
+    # (mod.rs:601-605).  The no-warm-start variant (every distinct word
+    # re-merged on first sight, the reference's model) is reported
+    # alongside for transparency; both exclude load, so the delta is
+    # pure cache coverage.
+    from complexity_tokenizer_tpu.tokenizer import Tokenizer as _Tok
+
+    os.environ["CTOK_WARM_START"] = "0"
+    try:
+        tok_nw = _Tok.from_file(TOKENIZER_JSON)
+        tok_nw._get_native_encoder()
+        t0 = time.perf_counter()
+        tok_nw.encode_batch_ragged(texts)
+        detail["cold_nowarmstart_bytes_per_s"] = round(
+            total_bytes / (time.perf_counter() - t0), 1
+        )
+        del tok_nw
+    finally:
+        os.environ.pop("CTOK_WARM_START", None)
     t0 = time.perf_counter()
-    tok.encode_batch_ragged(texts)
+    tok_cold = _Tok.from_file(TOKENIZER_JSON)  # eager build + warm load
+    detail["cold_load_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    detail["cold_warm_start_ms"] = round(
+        getattr(tok_cold, "_warm_start_s", 0.0) * 1e3, 2
+    )
+    t0 = time.perf_counter()
+    tok_cold.encode_batch_ragged(texts)
     detail["cold_cache_bytes_per_s"] = round(
         total_bytes / (time.perf_counter() - t0), 1
     )
+    # the cold tokenizer's results must match the main one's (gated)
+    cold_sample = texts[::97]
+    flat_c, offs_c = tok_cold.encode_batch_ragged(cold_sample)
+    detail["cold_exact_match_rate"] = _exact_rate(
+        tok,
+        cold_sample,
+        [
+            flat_c[offs_c[i] : offs_c[i + 1]].tolist()
+            for i in range(len(cold_sample))
+        ],
+    )
+    wp_c = tok_cold._auto_word_path()
+    if wp_c is not None:
+        wp_c.drain_async(timeout=min(30.0, _budget_left()))
+    del tok_cold
     _drain_auto(tok)
     if wp_auto is not None:
         # evidence the auto path used the chip: after the drain the corpus
@@ -446,8 +589,10 @@ def main():
     # offsets conformance (VERDICT r2 item 7): the production
     # return_offsets_mapping path vs the same path forced through the
     # pure-Python pre-tokenizer (the host oracle's reference-exact
-    # approximations, mod.rs:397-479) — gated like every other parity
-    off_sample = texts[::37]
+    # approximations, mod.rs:397-479) — gated like every other parity.
+    # Includes the multilingual corpus (VERDICT r3 item 6): the offset
+    # approximations bite on multi-byte UTF-8 + Ġ-stripping, not ASCII.
+    off_sample = texts[::37] + multi
     got_off = tok(off_sample, return_offsets_mapping=True).offset_mapping
     tok._pre_tokenize_fast = lambda normalized: None  # force the oracle
     try:
@@ -512,34 +657,6 @@ def main():
     except Exception as e:  # pragma: no cover
         detail["train_error"] = str(e)[:200]
 
-    # device (TPU) tier, measured fresh in-process — the chip's own merge
-    # rate on distinct novel words (what the word path dispatches).  The
-    # worker writes into a private dict merged only on a successful join,
-    # so an abandoned (timed-out) thread can never race json.dumps below.
-    dev_detail: dict = {}
-    _, err = _budgeted(
-        lambda: _device_detail(tok, texts, dev_detail), _budget_left()
-    )
-    # merge whatever completed (e.g. the small-bucket numbers when the
-    # large bucket hit the budget); snapshot defensively — an abandoned
-    # thread may still be appending
-    for _ in range(3):
-        try:
-            detail.update(dict(dev_detail))
-            break
-        except RuntimeError:  # pragma: no cover — size changed mid-copy
-            continue
-    if err is not None:
-        detail["device_error"] = str(err)[:200]
-    for k in (
-        "device_first_fill_s",
-        "device_words_filled",
-        "device_merge_words_per_s",
-        "device_novel_bytes_per_s",
-    ):
-        if k not in detail and k + "_64rows" in detail:
-            detail[k] = detail[k + "_64rows"]
-
     # headline second chance: when the remote compile service is slow, an
     # in-flight background fill's client thread busy-polls a core through
     # the first headline window, halving a 2-core host's throughput.  By
@@ -561,6 +678,7 @@ def main():
         detail.get("multilingual_postfill_exact"),
         detail.get("decode_exact_match_rate"),
         detail.get("offsets_exact_match_rate"),
+        detail.get("cold_exact_match_rate"),
     ]
     if "device_exact_match_rate" in detail:
         gates.append(detail["device_exact_match_rate"])

@@ -164,6 +164,16 @@ def load_library():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.ctok_warm_start.restype = ctypes.c_int64
+        lib.ctok_warm_start.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
         lib.ctok_decoder_new.restype = ctypes.c_void_p
         lib.ctok_decoder_new.argtypes = [
             ctypes.c_void_p,
@@ -400,6 +410,44 @@ class NativeEncoder:
         )
         lens = lens[:n_words]
         return words[: int(lens.sum())] if n_words else np.zeros(0, np.uint8), lens
+
+    def warm_start(self, words_buf: np.ndarray, word_lens,
+                   n_threads: int | None = None):
+        """Pre-merge distinct words through the native merge loop and
+        insert them into the shared caches (the vocabulary warm-start,
+        ctok_warm_start).  Returns (ids_flat int32, counts int64[n]) in
+        input order — the caller may persist these and bulk-reload them
+        later with :meth:`cache_insert_flat` instead of re-merging."""
+        import os as _os
+
+        n = len(word_lens)
+        if n == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.int64)
+        lens = np.ascontiguousarray(word_lens, np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        wb = np.ascontiguousarray(words_buf, np.uint8)
+        if not wb.size:
+            wb = np.zeros(1, np.uint8)
+        ids_tmp = np.empty(max(int(offsets[-1]), 1), np.int32)
+        counts32 = np.zeros(n, np.int32)
+        self._lib.ctok_warm_start(
+            self._ctx, _ptr(wb), _ptr(offsets), n, _ptr(ids_tmp),
+            _ptr(counts32),
+            int(n_threads if n_threads is not None
+                else min(_os.cpu_count() or 1, 16)),
+        )
+        counts = counts32.astype(np.int64)
+        # compact ids from byte offsets to a flat ragged buffer
+        out_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=out_offs[1:])
+        tot = int(out_offs[-1])
+        idx = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(out_offs[:-1], counts)
+            + np.repeat(offsets[:-1], counts)
+        )
+        return ids_tmp[idx], counts
 
     def cache_insert(self, words_buf: np.ndarray, word_lens: np.ndarray,
                      ids_rows: list[list[int]]):

@@ -464,6 +464,14 @@ struct Ctx {
     // collected miss words).
     WordCache shared_long;
     ShortCache shared_short;
+    // Direct-mapped single-token accelerator over the shared tables
+    // (round 4): warm-cache loads and device-fill harvests insert the
+    // <=8-byte single-token head here, so the hot-word probe is one
+    // aligned 16-byte slot instead of a random walk through the multi-MB
+    // shared_short.  Written only under work_mu (insert paths), read
+    // only under work_mu (encodes) — same discipline as the tables it
+    // accelerates; misses fall through, so exactness never depends on it.
+    FrontCache shared_front;
     // Scratch reused by the Python-extension batch entry points (ids at
     // byte offsets, per-text counts/offsets).  call_mu serializes those
     // calls; it is only ever locked with the GIL released, so lock order
@@ -755,6 +763,8 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
             load_key16(data + start, wlen, &k0, &k1);
         else
             load_key16_safe(data + start, wlen, &k0, &k1);
+        if (wlen <= 8 && c->shared_front.lookup1(k0, (uint32_t)wlen, out))
+            return 1;
         uint64_t hv = ShortCache::mix(k0, k1, (uint64_t)wlen);
         for (int which = 0; which < 2; ++which) {
             const ShortCache* s = which == 0 ? &c->shared_short : sc;
@@ -823,6 +833,8 @@ inline int64_t encode_word_short_keyed(const Ctx* c, ShortCache* sc,
     int64_t wlen = end - start;
     bool frontable = wlen <= 8;  // => k1 == 0; key is (k0, len)
     if (frontable && sc->front.lookup1(k0, (uint32_t)wlen, out)) return 1;
+    if (frontable && c->shared_front.lookup1(k0, (uint32_t)wlen, out))
+        return 1;
     for (int which = 0; which < 2; ++which) {
         const ShortCache* s = which == 0 ? &c->shared_short : sc;
         if (s->slots.empty()) continue;
@@ -1759,12 +1771,88 @@ void ctok_cache_insert_batch(void* p, const uint8_t* words_buf,
             if (c->shared_short.slots.empty() ||
                 c->shared_short.lookup(k0, k1, (uint8_t)wlen, sink) < 0)
                 c->shared_short.insert(k0, k1, (uint8_t)wlen, ids, n_ids);
+            if (wlen <= 8 && n_ids == 1)
+                c->shared_front.insert1(k0, (uint32_t)wlen, ids[0]);
         } else {
             uint64_t h = fnv1a(wp, wlen);
             if (c->shared_long.find(h, wp, wlen) < 0)
                 c->shared_long.insert(h, wp, wlen, ids, n_ids);
         }
     }
+}
+
+// Vocabulary warm-start: pre-merge n distinct words (flat buffer +
+// offsets) through the raw merge loop and insert them into the SHARED
+// caches.  Every vocab word's token sequence is derivable at load time
+// from the merge table alone — by construction the vocab is the corpus
+// head under any Zipf-ish distribution, so pre-merging it makes a fresh
+// tokenizer's first batch serve warm (the TPU-native framework's answer
+// to the reference re-merging every occurrence of every word,
+// huggingface/mod.rs:601-605).  ids for word w are written at
+// out_ids + word_offsets[w] (id count <= byte count) with counts in
+// out_counts, so the caller can persist the result next to the
+// tokenizer file and bulk-reload it via ctok_cache_insert_batch.
+// The merge phase fans out over the pool; the shared-cache insert is
+// serial (single-writer caches by design).  Returns total ids.
+int64_t ctok_warm_start(void* p, const uint8_t* words_buf,
+                        const int64_t* word_offsets, int64_t n_words,
+                        int32_t* out_ids, int32_t* out_counts,
+                        int32_t n_threads) {
+    Ctx* c = (Ctx*)p;
+    std::lock_guard<std::mutex> lk(c->work_mu);
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > kMaxThreads) n_threads = kMaxThreads;
+    if (n_words < n_threads * 64) n_threads = 1;
+    auto worker = [&](int tid) {
+        std::vector<int32_t> scratch;
+        scratch.reserve(64);
+        int64_t total = word_offsets[n_words];
+        int64_t lo_b = total * tid / n_threads;
+        int64_t hi_b = shard_hi(total, tid, n_threads);
+        for (int64_t w = 0; w < n_words; ++w) {
+            int64_t a = word_offsets[w];
+            if (a < lo_b || a >= hi_b) continue;
+            int64_t b = word_offsets[w + 1];
+            scratch.clear();
+            for (int64_t k = a; k < b; ++k) {
+                int32_t t = c->byte_token[words_buf[k]];
+                if (t >= 0) scratch.push_back(t);
+            }
+            if (!scratch.empty()) merge_word(c, scratch);
+            for (size_t i = 0; i < scratch.size(); ++i)
+                out_ids[a + (int64_t)i] = scratch[i];
+            out_counts[w] = (int32_t)scratch.size();
+        }
+    };
+    pool().run(n_threads, worker);
+    int64_t total_ids = 0;
+    {
+        std::lock_guard<std::mutex> lk2(c->shared_mu);
+        for (int64_t w = 0; w < n_words; ++w) {
+            int64_t a = word_offsets[w];
+            int64_t wlen = word_offsets[w + 1] - a;
+            const uint8_t* wp = words_buf + a;
+            const int32_t* ids = out_ids + a;
+            int64_t n_ids = out_counts[w];
+            total_ids += n_ids;
+            if (wlen < 1 || wlen > kMaxCachedWord) continue;
+            if (wlen <= kMaxShortWord) {
+                uint64_t k0, k1;
+                load_key16_safe(wp, wlen, &k0, &k1);
+                int32_t sink[kMaxShortWord];
+                if (c->shared_short.slots.empty() ||
+                    c->shared_short.lookup(k0, k1, (uint8_t)wlen, sink) < 0)
+                    c->shared_short.insert(k0, k1, (uint8_t)wlen, ids, n_ids);
+                if (wlen <= 8 && n_ids == 1)
+                    c->shared_front.insert1(k0, (uint32_t)wlen, ids[0]);
+            } else {
+                uint64_t h = fnv1a(wp, wlen);
+                if (c->shared_long.find(h, wp, wlen) < 0)
+                    c->shared_long.insert(h, wp, wlen, ids, n_ids);
+            }
+        }
+    }
+    return total_ids;
 }
 
 // Multi-pattern gate: grouped by first byte so the common no-match case is

@@ -687,3 +687,40 @@ class InlBpeTrainer:
         }
         with open(path, "w", encoding="utf-8") as f:
             json.dump(tokenizer_json, f, ensure_ascii=False, indent=2)
+        self._export_warm_cache(path)
+
+    # words beyond this (by frequency) stay out of the shipped warm
+    # cache: the Zipf tail contributes ~nothing to serve-time hit rate
+    # but grows the artifact linearly
+    _WARM_CACHE_MAX_WORDS = 262_144
+
+    def _export_warm_cache(self, path) -> None:
+        """Ship the trainer's word knowledge with the artifact: the
+        distinct corpus words it counted, pre-merged under the final
+        table, land in <stem>.warmcache.npz so a ``from_file`` process
+        serves its first batch warm (the reference re-merges the corpus
+        head in every process, mod.rs:601-605; the trainer already paid
+        for that knowledge once).  Best-effort — failures leave only the
+        load-time vocab warm-start."""
+        try:
+            from ..tokenizer import Tokenizer
+            from ..utils.bytelevel import unicode_to_bytes
+
+            if len(self.vocab) < Tokenizer._WARM_START_MIN_VOCAB:
+                return
+            inv = unicode_to_bytes()
+            extra: list[bytes] = []
+            if self._raw_word_freqs:
+                top = sorted(
+                    self._raw_word_freqs.items(),
+                    key=lambda kv: -kv[1],
+                )[: self._WARM_CACHE_MAX_WORDS]
+                for w, _f in top:
+                    try:
+                        extra.append(bytes(inv[c] for c in w))
+                    except KeyError:
+                        continue
+            tok = Tokenizer.from_file(path)
+            tok.export_warm_cache(extra)
+        except Exception:
+            pass

@@ -372,3 +372,65 @@ def test_pre_tokenize_fast_matches_oracle():
         exp = tok.pre_tokenizer.pre_tokenize(normalized)
         got = tok._pre_tokenize_fast(normalized)
         assert got == exp, repr(t)
+
+
+def test_warm_start_parity_and_cache_hits(monkeypatch):
+    """Vocabulary warm-start (round 4): pre-merged cache entries equal
+    the host oracle encode, and warm-started words stop registering as
+    misses (ctok_warm_start / Tokenizer._warm_start_native)."""
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    native = tok._get_native_encoder()
+    if native is None:
+        pytest.skip("native runtime unavailable")
+    n = tok.warm_start()  # forced (small test vocab)
+    assert n > 0
+    # every vocab word is now cached: a corpus of vocab words misses 0
+    texts = ["hello world the fox and dog", "The thing that is more"]
+    data = tok._prepare_bytes([tok.normalizer.normalize(t) for t in texts])
+    _, lens = native.collect_miss_words(data, 128)
+    # parity through the production path (front cache + shared caches)
+    got = tok.encode_batch(texts)
+    want = [tok._encode_host(t) for t in texts]
+    assert got == want
+
+
+def test_warm_cache_artifact_roundtrip(tmp_path, monkeypatch):
+    """Trainer-style warm-cache artifact: export -> fresh from_file
+    bulk-load -> identical results; a stale blob (file edited) is
+    rejected by the digest and silently recomputed."""
+    import json as _json
+
+    from helpers import trained_tokenizer_json
+
+    from complexity_tokenizer_tpu.tokenizer import Tokenizer
+
+    js = trained_tokenizer_json()
+    p = tmp_path / "tok.json"
+    p.write_text(js, encoding="utf-8")
+    monkeypatch.setenv("CTOK_WARM_START", "1")  # force despite small vocab
+
+    tok = Tokenizer.from_file(p)
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    n = tok.export_warm_cache([b" extraword", b" tail"])
+    assert n > 0
+    blob = tmp_path / "tok.warmcache.npz"
+    assert blob.exists()
+
+    tok2 = Tokenizer.from_file(p)
+    native2 = tok2._get_native_encoder()
+    assert tok2._warm_started
+    # the exported extra word must be cached (no miss)
+    _, lens = native2.collect_miss_words([b" extraword tail"], 128)
+    assert len(lens) == 0
+    texts = ["hello world", "the quick brown fox", "extraword tail"]
+    assert tok2.encode_batch(texts) == [tok2._encode_host(t) for t in texts]
+
+    # stale blob: edit the json (digest changes) -> blob ignored, results
+    # still exact, and the recompute overwrites the blob with a new key
+    p.write_text(js + "\n", encoding="utf-8")
+    tok3 = Tokenizer.from_file(p)
+    assert tok3._get_native_encoder() is not None
+    assert tok3.encode_batch(texts) == [tok3._encode_host(t) for t in texts]
