@@ -360,7 +360,8 @@ def _device_trainer_detail(texts, detail):
     def run(extra_merges: int) -> tuple[float, int]:
         tr = DistributedInlTrainer(
             TrainerConfig(
-                vocab_size=256 + extra_merges, min_frequency=1
+                vocab_size=256 + extra_merges, min_frequency=1,
+                inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0,
             )
         )
         t0 = time.perf_counter()
@@ -376,6 +377,23 @@ def _device_trainer_detail(texts, detail):
         )
     detail["device_train_merges"] = m_big
     detail["device_train_total_s"] = round(t_big, 3)
+    # steady-state per-merge step cost of the k-merges-per-dispatch
+    # selection (blocks after the first, which carries the compile)
+    tr = DistributedInlTrainer(
+        TrainerConfig(
+            vocab_size=506, min_frequency=1,
+            inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0,
+        )
+    )
+    with contextlib.redirect_stdout(io.StringIO()):
+        tr.train_from_texts(corpus)
+    bt = getattr(tr, "_select_block_times", None)
+    bm = getattr(tr, "_select_block_merges", None)
+    if bt and bm and len(bt) > 1 and sum(bm[1:]) > 0:
+        detail["device_train_steady_ms_per_merge"] = round(
+            sum(bt[1:]) * 1e3 / sum(bm[1:]), 3
+        )
+        detail["device_train_block_dispatches"] = len(bt)
 
 
 def main():

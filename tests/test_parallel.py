@@ -444,3 +444,44 @@ def test_sharded_word_fill_matches_unsharded():
         wp.sharding = None
     assert cnt_n.tolist() == cnt_1.tolist()
     assert ids_n.tolist() == ids_1.tolist()
+
+
+def test_distributed_trainer_classic_batched_parity():
+    """Classic mode (inl_gate=0) takes the device-resident k-merge-block
+    selection path (parallel/trainer.make_k_merge_steps) and reproduces
+    the host trainer's merges bit-exactly, including the argmax
+    tie-break (= heap (a,b)-ascending order)."""
+    from complexity_tokenizer_tpu.parallel.trainer import DistributedInlTrainer
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world this is a training corpus for merges",
+        "pack my box with five dozen liquor jugs",
+        "aaa aaaa aaaaa repeated runs a a aa",
+    ] * 10
+    cfg = dict(
+        vocab_size=400, min_frequency=1,
+        inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0,
+    )
+    import contextlib
+    import io
+
+    dist = DistributedInlTrainer(TrainerConfig(**cfg))
+    with contextlib.redirect_stdout(io.StringIO()):
+        dist.train_from_texts(texts)
+    assert getattr(dist, "_select_block_times", None), (
+        "classic mode must use the batched selection path"
+    )
+    host = InlBpeTrainer(TrainerConfig(**cfg))
+    with contextlib.redirect_stdout(io.StringIO()):
+        host.train_from_texts(texts)
+    assert dist.merges == host.merges
+    assert dist.vocab == host.vocab
+    # pair_freqs re-synced from the device histogram must equal host's
+    hd = {p: f for p, f in dist.pair_freqs.items() if f > 0}
+    hh = {p: f for p, f in host.pair_freqs.items() if f > 0}
+    assert hd == hh
