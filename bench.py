@@ -357,36 +357,25 @@ def _device_trainer_detail(texts, detail):
 
     corpus = texts[:600]
 
-    def run(extra_merges: int) -> tuple[float, int]:
+    def run() -> tuple[float, int, object]:
         tr = DistributedInlTrainer(
             TrainerConfig(
-                vocab_size=256 + extra_merges, min_frequency=1,
+                vocab_size=506, min_frequency=1,
                 inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0,
             )
         )
         t0 = time.perf_counter()
         with contextlib.redirect_stdout(io.StringIO()):
             tr.train_from_texts(corpus)
-        return time.perf_counter() - t0, len(tr.merges)
+        return time.perf_counter() - t0, len(tr.merges), tr
 
-    t_small, m_small = run(50)
-    t_big, m_big = run(250)
-    if m_big > m_small:
-        detail["device_train_ms_per_merge"] = round(
-            (t_big - t_small) * 1e3 / (m_big - m_small), 3
-        )
-    detail["device_train_merges"] = m_big
-    detail["device_train_total_s"] = round(t_big, 3)
-    # steady-state per-merge step cost of the k-merges-per-dispatch
-    # selection (blocks after the first, which carries the compile)
-    tr = DistributedInlTrainer(
-        TrainerConfig(
-            vocab_size=506, min_frequency=1,
-            inl_alpha=0.0, inl_beta=0.0, inl_gate=0.0,
-        )
-    )
-    with contextlib.redirect_stdout(io.StringIO()):
-        tr.train_from_texts(corpus)
+    t_total, m_total, tr = run()
+    detail["device_train_merges"] = m_total
+    detail["device_train_total_s"] = round(t_total, 3)
+    # the headline number: steady-state per-merge cost of the k-merges-
+    # per-dispatch selection (blocks after the first, which carries the
+    # one-time compile) — directly comparable to the reference's
+    # per-merge pass (trainer.rs:406-516) and the r3 per-merge dispatch
     bt = getattr(tr, "_select_block_times", None)
     bm = getattr(tr, "_select_block_merges", None)
     if bt and bm and len(bt) > 1 and sum(bm[1:]) > 0:

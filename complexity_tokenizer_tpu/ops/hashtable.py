@@ -166,149 +166,122 @@ def _try_build_chd(merge_ranks, merge_ops, size: int) -> ChdTable | None:
 
 @dataclass
 class QcTable:
-    """Quotient-cuckoo pair table: ONE u32 gather per probe, two
-    independent probes per lookup (round-4 merge-kernel redesign).
+    """Two-choice cuckoo pair table with packed u32 rows: each lookup is
+    two INDEPENDENT [m, 2]-row gathers (round-4 merge-kernel redesign).
 
-    Each slot packs ``quotient << 16 | rank`` where quotient is the high
-    16 bits of an INVERTIBLE 32-bit hash of the packed key
-    ``a << 16 | b`` and the slot index is the low 16 bits — so
-    (slot, quotient) equality is exact key equality (the hash is a
-    bijection on u32), no stored key needed.  The minted id is affine in
-    rank (``new_id = base + rank``, verified at build), so the lookup
-    returns (rank, minted) from 2 independent 1-element gathers vs the
-    CHD form's serial displacement->row chain gathering 5 elements —
-    measured 3.4x cheaper per merge-kernel iteration on a v5e chip
-    (scripts/kernel_exp.py; PROFILE.md round 4).
+    Row = (key ``a << 16 | b``, value ``rank << 16 | minted_id``).  The
+    CHD form's two gathers are serially dependent (displacement feeds
+    the row address) and pull 5 elements/lane; the cuckoo probes have no
+    data dependence between them, so they overlap on-chip.  Measured on
+    a v5e chip at the production [1024, 128] pack (scripts/kernel_exp.py,
+    PROFILE.md round 4): 1.94 -> 1.26 ms per fixpoint iteration.  A
+    quotient-compressed 1-element-per-slot variant was also measured and
+    is SLOWER (2.69 ms/iter) — flat 1-D scalar gathers lower worse on
+    this backend than small row gathers, so the full key stays in the
+    row and no affine-minted-id restriction is needed.
 
-    Eligibility: token ids < 65536, ranks < 65535, minted ids affine in
-    rank.  Anything else falls back to :class:`ChdTable`.
+    Eligibility: token ids < 65535 and ranks/minted ids < 65536 (u16
+    packing).  Anything else falls back to :class:`ChdTable`.
     """
 
-    t1: np.ndarray  # [65536] u32: quotient<<16 | rank (0xFFFFFFFF empty)
-    t2: np.ndarray  # [65536] u32
-    base: int  # minted id = base + rank
-
-
-_QC_M = 65536  # slots per table: fixed so quotient is exactly 16 bits
-
-
-def _qc_hash_np(k32: np.ndarray, which: int) -> np.ndarray:
-    """Invertible u32 mix (odd multiplies + xorshifts), numpy side."""
-    x = k32.astype(np.uint64)
-    M = np.uint64(0xFFFFFFFF)
-    x = (x * np.uint64(0x9E3779B1 if which == 0 else 0x85EBCA77)) & M
-    x = x ^ (x >> np.uint64(16))
-    x = (x * np.uint64(0x7FEB352D if which == 0 else 0x45D9F3B3)) & M
-    x = x ^ (x >> np.uint64(15))
-    return x.astype(np.uint32)
-
-
-def _qc_hash_jnp(k32, which: int):
-    """Device twin of :func:`_qc_hash_np` (bit-identical)."""
-    import jax.numpy as jnp  # noqa: F401
-
-    x = k32
-    x = x * (np.uint32(0x9E3779B1) if which == 0 else np.uint32(0x85EBCA77))
-    x = x ^ (x >> np.uint32(16))
-    x = x * (np.uint32(0x7FEB352D) if which == 0 else np.uint32(0x45D9F3B3))
-    x = x ^ (x >> np.uint32(15))
-    return x
+    t1: np.ndarray  # [m, 2] u32: key, rank<<16|minted (0xFFFFFFFF empty)
+    t2: np.ndarray  # [m, 2] u32
+    size: int  # m (power of two)
 
 
 def build_qc_table(
     merge_ranks: dict[tuple[int, int], int], merge_ops: dict
 ) -> QcTable | None:
-    """Quotient-cuckoo build (random-walk insertion); None if ineligible
-    (ids/ranks out of u16 range, minted ids not affine in rank, or the
-    walk fails — the caller keeps the CHD fallback)."""
+    """Cuckoo build (random-walk insertion, hashes precomputed
+    vectorized); None if ineligible — the caller keeps the CHD
+    fallback."""
     n = len(merge_ranks)
-    if n == 0 or n > 0xFFFE:
-        return None
-    base = None
-    for r, (_ab, new_id) in merge_ops.items():
-        if base is None:
-            base = new_id - r
-        elif new_id - r != base:
-            return None
-    if base is None:
+    if n == 0:
         return None
     keys = list(merge_ranks.keys())
     a_arr = np.array([k[0] for k in keys], np.int64)
     b_arr = np.array([k[1] for k in keys], np.int64)
     # ranks are sparse (skipped merges keep original enumeration indices,
-    # core/bpe.py build_merge_tables) — the 16-bit slot field needs the
-    # MAX rank in range, not just the count
+    # core/bpe.py build_merge_tables) — u16 packing needs the MAX rank
+    # in range, not just the count.  ids capped below 0xFFFF so the
+    # empty-slot key 0xFFFFFFFF can never equal a real key.
     max_rank = max(merge_ranks.values())
+    minted = [merge_ops[r][1] for r in merge_ranks.values()]
     if (
         a_arr.min() < 0
         or b_arr.min() < 0
-        or a_arr.max() >= 0x10000
-        or b_arr.max() >= 0x10000
-        or max_rank >= 0xFFFF
-        or base + max_rank >= 0x80000000
+        or a_arr.max() >= 0xFFFF
+        or b_arr.max() >= 0xFFFF
+        or max_rank >= 0x10000
+        or max(minted) >= 0x10000
+        or min(minted) < 0
     ):
         return None
+    m = 64
+    while m * 2 * 0.45 < n:
+        m <<= 1
     k32 = ((a_arr << 16) | b_arr).astype(np.uint32)
-    h1 = _qc_hash_np(k32, 0)
-    h2 = _qc_hash_np(k32, 1)
-    s1 = (h1 & np.uint32(_QC_M - 1)).tolist()
-    q1 = (h1 >> np.uint32(16)).tolist()
-    s2 = (h2 & np.uint32(_QC_M - 1)).tolist()
-    q2 = (h2 >> np.uint32(16)).tolist()
-    ranks = [merge_ranks[k] for k in keys]
-    info: dict[int, tuple[int, int, int, int, int]] = {}
-    for i in range(n):
-        info[int(k32[i])] = (s1[i], q1[i], s2[i], q2[i], ranks[i])
-    occ0: list[int | None] = [None] * _QC_M
-    occ1: list[int | None] = [None] * _QC_M
-    for k in info:
-        cur: int | None = k
-        side = 0
-        for _ in range(500):
-            e = info[cur]
-            pos = e[0] if side == 0 else e[2]
-            occ = occ0 if side == 0 else occ1
-            cur, occ[pos] = occ[pos], cur
-            if cur is None:
+    vals = [
+        (merge_ranks[k] << 16) | merge_ops[merge_ranks[k]][1] for k in keys
+    ]
+    for _ in range(4):
+        mask = m - 1
+        h1 = _mix_hash_np(
+            a_arr.astype(np.uint32), b_arr.astype(np.uint32), mask
+        ).tolist()
+        M = np.uint64(0xFFFFFFFF)
+        g = (
+            (a_arr.astype(np.uint64) * np.uint64(0x9E3779B1)) & M
+        ) ^ ((b_arr.astype(np.uint64) * np.uint64(0x7FEB352D)) & M)
+        g = g ^ (g >> np.uint64(16))
+        g = (g * np.uint64(0x45D9F3B)) & M
+        h2 = (g & np.uint64(mask)).astype(np.int64).tolist()
+        slots_of = {int(k32[i]): (h1[i], h2[i]) for i in range(n)}
+        val_of = {int(k32[i]): vals[i] for i in range(n)}
+        occ0: list = [None] * m
+        occ1: list = [None] * m
+        ok = True
+        for k in slots_of:
+            cur, side = k, 0
+            for _ in range(500):
+                p1, p2 = slots_of[cur]
+                pos = p1 if side == 0 else p2
+                occ = occ0 if side == 0 else occ1
+                cur, occ[pos] = occ[pos], cur
+                if cur is None:
+                    break
+                side = 1 - side
+            if cur is not None:
+                ok = False
                 break
-            side = 1 - side
-        if cur is not None:
-            return None  # walk failed (vanishingly rare at this load)
-    t = np.full((2, _QC_M), 0xFFFFFFFF, dtype=np.uint32)
-    for side, occ in ((0, occ0), (1, occ1)):
-        for pos, k in enumerate(occ):
-            if k is not None:
-                e = info[k]
-                q = e[1] if side == 0 else e[3]
-                t[side, pos] = (q << 16) | e[4]
-    return QcTable(t[0], t[1], int(base))
+        if ok:
+            t = np.full((2, m, 2), 0xFFFFFFFF, dtype=np.uint32)
+            for side, occ in ((0, occ0), (1, occ1)):
+                for pos, k in enumerate(occ):
+                    if k is not None:
+                        t[side, pos, 0] = k
+                        t[side, pos, 1] = val_of[k]
+            return QcTable(t[0], t[1], m)
+        m <<= 1
+    return None  # walk failed repeatedly (vanishingly rare)
 
 
-def qc_lookup_jnp(t1, t2, base: int, a, b, valid):
-    """(rank, minted) via the quotient-cuckoo table: 2 INDEPENDENT
-    1-element gathers (they overlap on-chip; the CHD form's two gathers
-    are serially dependent)."""
+def qc_lookup_jnp(t1, t2, size: int, a, b, valid):
+    """(rank, minted) via the cuckoo table: 2 INDEPENDENT row gathers
+    (vs the CHD form's serial displacement->row chain)."""
     import jax.numpy as jnp
 
     k = (a.astype(jnp.uint32) << 16) | b.astype(jnp.uint32)
-    h1 = _qc_hash_jnp(k, 0)
-    h2 = _qc_hash_jnp(k, 1)
-    e1 = t1[(h1 & np.uint32(0xFFFF)).astype(jnp.int32)]
-    e2 = t2[(h2 & np.uint32(0xFFFF)).astype(jnp.int32)]
-    r1 = e1 & np.uint32(0xFFFF)
-    r2 = e2 & np.uint32(0xFFFF)
-    # rank 0xFFFF is reserved for empty slots (build caps n <= 0xFFFE),
-    # so an empty slot can never satisfy the hit test
-    hit1 = ((e1 >> np.uint32(16)) == (h1 >> np.uint32(16))) & (
-        r1 != np.uint32(0xFFFF)
-    ) & valid
-    hit2 = ((e2 >> np.uint32(16)) == (h2 >> np.uint32(16))) & (
-        r2 != np.uint32(0xFFFF)
-    ) & valid
-    r = jnp.where(hit1, r1, r2).astype(jnp.int32)
+    p1 = mix_hash_jnp(a, b, size - 1)
+    p2 = mix_hash2_jnp(a, b, size - 1)
+    r1 = t1[p1]  # [..., 2] — independent of r2: the probes overlap
+    r2 = t2[p2]
+    hit1 = (r1[..., 0] == k) & valid
+    hit2 = (r2[..., 0] == k) & valid
+    rm = jnp.where(hit1, r1[..., 1], r2[..., 1])
     hit = hit1 | hit2
-    rank = jnp.where(hit, r, INF_RANK)
-    minted = r + np.int32(base)
+    rank = jnp.where(hit, (rm >> np.uint32(16)).astype(jnp.int32), INF_RANK)
+    minted = (rm & np.uint32(0xFFFF)).astype(jnp.int32)
     return rank, minted
 
 

@@ -166,15 +166,15 @@ def merge_word_rows(tokens, disp, rows, table_size: int, n_buckets: int):
     return _word_rows_fixpoint(tokens, lookup)
 
 
-@functools.partial(jax.jit, static_argnames=("base",))
-def merge_word_rows_qc(tokens, t1, t2, base: int):
-    """Word-flattened merge fixpoint over a quotient-cuckoo pair table
-    (two independent 1-element gathers per probe; see ops/hashtable.py
-    QcTable for why this is ~3x cheaper per iteration than the CHD
-    form's serial displacement->row chain)."""
+@functools.partial(jax.jit, static_argnames=("size",))
+def merge_word_rows_qc(tokens, t1, t2, size: int):
+    """Word-flattened merge fixpoint over a two-choice cuckoo pair
+    table (two independent row gathers per probe; see ops/hashtable.py
+    QcTable for the measured win over the CHD form's serial
+    displacement->row chain)."""
 
     def lookup(a, b, valid):
-        return qc_lookup_jnp(t1, t2, base, a, b, valid)
+        return qc_lookup_jnp(t1, t2, size, a, b, valid)
 
     return _word_rows_fixpoint(tokens, lookup)
 
@@ -258,16 +258,17 @@ def merge_words(
     return _segmented_fixpoint(tokens, wid, lookup)
 
 
-@functools.partial(jax.jit, static_argnames=("base",))
-def merge_words_qc(tokens, wid, t1, t2, base: int):
-    """Segmented merge fixpoint over a quotient-cuckoo pair table: the
-    production device form when the table is eligible (u16 ids/ranks,
-    affine minted ids — every standard trained/loaded BPE).  Replaces
-    the reference hot loop bpe.rs:104-153; the probe is 2 independent
-    1-element gathers vs CHD's serial 5-element chain (~3x cheaper per
-    iteration on-chip, PROFILE.md round 4)."""
+@functools.partial(jax.jit, static_argnames=("size",))
+def merge_words_qc(tokens, wid, t1, t2, size: int):
+    """Segmented merge fixpoint over a two-choice cuckoo pair table:
+    the production device form when the table is eligible (u16
+    ids/ranks/minted — every standard trained/loaded BPE).  Replaces
+    the reference hot loop bpe.rs:104-153; the probe is 2 INDEPENDENT
+    row gathers vs CHD's serial displacement->row chain — measured
+    1.94 -> 1.26 ms per fixpoint iteration at [1024,128] on a v5e chip
+    (PROFILE.md round 4)."""
 
     def lookup(a, b, valid):
-        return qc_lookup_jnp(t1, t2, base, a, b, valid)
+        return qc_lookup_jnp(t1, t2, size, a, b, valid)
 
     return _segmented_fixpoint(tokens, wid, lookup)

@@ -83,10 +83,10 @@ class EncodePipeline:
         if tables.qc is not None:
             self.qc_t1 = jnp.asarray(tables.qc.t1)
             self.qc_t2 = jnp.asarray(tables.qc.t2)
-            self.qc_base = tables.qc.base
+            self.qc_size = tables.qc.size
         else:
             self.qc_t1 = self.qc_t2 = None
-            self.qc_base = None
+            self.qc_size = None
         self.sharding = sharding  # optional jax.sharding.NamedSharding for batch
         self.n_devices = 1
 
@@ -98,7 +98,7 @@ class EncodePipeline:
 
         if self.qc_t1 is not None:
             return merge_words_qc(
-                tokens, wid, self.qc_t1, self.qc_t2, self.qc_base
+                tokens, wid, self.qc_t1, self.qc_t2, self.qc_size
             )
         return merge_words(
             tokens, wid, self.disp, self.rows, self.table_size, self.n_buckets

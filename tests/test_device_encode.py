@@ -498,7 +498,7 @@ def test_qc_table_lookup_parity(tok, pipeline):
     t1 = jnp.asarray(qc.t1)
     t2 = jnp.asarray(qc.t2)
     valid = jnp.ones(len(keys), bool)
-    rank, minted = qc_lookup_jnp(t1, t2, qc.base, a, b, valid)
+    rank, minted = qc_lookup_jnp(t1, t2, qc.size, a, b, valid)
     rank = np.asarray(rank)
     minted = np.asarray(minted)
     for i, k in enumerate(keys):
@@ -513,33 +513,49 @@ def test_qc_table_lookup_parity(tok, pipeline):
             miss.append(p)
     ma = jnp.asarray(np.array([p[0] for p in miss], np.int32))
     mb = jnp.asarray(np.array([p[1] for p in miss], np.int32))
-    mrank, _ = qc_lookup_jnp(t1, t2, qc.base, ma, mb, jnp.ones(len(miss), bool))
+    mrank, _ = qc_lookup_jnp(t1, t2, qc.size, ma, mb, jnp.ones(len(miss), bool))
     assert (np.asarray(mrank) == INF_RANK).all()
     # ~valid masks everything
-    vrank, _ = qc_lookup_jnp(t1, t2, qc.base, a, b, jnp.zeros(len(keys), bool))
+    vrank, _ = qc_lookup_jnp(t1, t2, qc.size, a, b, jnp.zeros(len(keys), bool))
     assert (np.asarray(vrank) == INF_RANK).all()
 
 
-def test_qc_table_ineligible_falls_back():
-    """Non-affine minted ids / out-of-range ranks refuse the qc form."""
-    from complexity_tokenizer_tpu.ops.hashtable import build_qc_table
+def test_qc_table_eligibility():
+    """Out-of-range ids/ranks refuse the qc form (CHD fallback); sparse
+    non-affine minted ids are fine (the row stores the minted id)."""
+    import jax.numpy as jnp
 
-    # non-affine: rank 0 -> id 10, rank 1 -> id 99
-    assert (
-        build_qc_table(
-            {(1, 2): 0, (3, 4): 1},
-            {0: ((1, 2), 10), 1: ((3, 4), 99)},
-        )
-        is None
+    from complexity_tokenizer_tpu.ops.hashtable import (
+        build_qc_table,
+        qc_lookup_jnp,
     )
+
+    # non-affine minted ids build fine and look up exactly
+    qc = build_qc_table(
+        {(1, 2): 0, (3, 4): 7},
+        {0: ((1, 2), 10), 7: ((3, 4), 99)},
+    )
+    assert qc is not None
+    rank, minted = qc_lookup_jnp(
+        jnp.asarray(qc.t1), jnp.asarray(qc.t2), qc.size,
+        jnp.asarray(np.array([1, 3], np.int32)),
+        jnp.asarray(np.array([2, 4], np.int32)),
+        jnp.ones(2, bool),
+    )
+    assert np.asarray(rank).tolist() == [0, 7]
+    assert np.asarray(minted).tolist() == [10, 99]
     # rank beyond u16
     assert (
-        build_qc_table({(1, 2): 0x10000}, {0x10000: ((1, 2), 0x10005)})
+        build_qc_table({(1, 2): 0x10000}, {0x10000: ((1, 2), 0x1005)})
         is None
     )
-    # token id beyond u16
+    # token id beyond the packable range
     assert (
-        build_qc_table({(70000, 2): 0}, {0: ((70000, 2), 70001)}) is None
+        build_qc_table({(70000, 2): 0}, {0: ((70000, 2), 701)}) is None
+    )
+    # minted id beyond u16
+    assert (
+        build_qc_table({(1, 2): 0}, {0: ((1, 2), 0x10000)}) is None
     )
 
 
@@ -566,7 +582,7 @@ def test_merge_words_qc_matches_chd(tok, pipeline):
         pipeline.n_buckets,
     )
     out_qc, cnt_qc = merge_words_qc(
-        t, w, pipeline.qc_t1, pipeline.qc_t2, pipeline.qc_base
+        t, w, pipeline.qc_t1, pipeline.qc_t2, pipeline.qc_size
     )
     assert (np.asarray(out_chd) == np.asarray(out_qc)).all()
     assert (np.asarray(cnt_chd) == np.asarray(cnt_qc)).all()
