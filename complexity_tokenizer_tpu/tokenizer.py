@@ -1428,9 +1428,15 @@ class Tokenizer:
         return_special_tokens_mask: bool = False,
         return_tensors: str | None = None,
     ) -> BatchEncoding:
-        # return_tensors ("np" | "jax") is a TPU-framework extension over
-        # the reference __call__ (bindings/tokenizer.rs:46-59): fields come
-        # back stacked as arrays ready for device feeding
+        """Transformers-style batch entry point (bindings/tokenizer.rs:46-59).
+
+        Throughput note: pass ``return_tensors="np"`` (or ``"jax"``) for
+        the model-feed path — fields come back as stacked arrays via a C
+        matrix fill (~320 MB/s).  The default list-of-lists return is
+        reference-compatible but pays CPython's per-element PyLong cost
+        (~13 ns/cell; see README "Throughput guidance" and PROFILE.md
+        "List-output floor"), capping it around ~67-130 MB/s.
+        """
         if return_tensors not in (None, "np", "jax"):
             raise ValueError("return_tensors must be None, 'np' or 'jax'")
         if isinstance(text, (list, tuple)):

@@ -390,6 +390,55 @@ def main():
     else:
         print("qcuckoo inapplicable", file=sys.stderr)
 
+    # int32 twin of cuckoo2 (u32 arithmetic may lower differently)
+    ct1_i = jnp.asarray(t1_np.astype(np.int64).astype(np.int32))
+    ct2_i = jnp.asarray(t2_np.astype(np.int64).astype(np.int32))
+
+    def lookup_cuckoo2_i32(t1, t2, m):
+        def f(a, b, valid):
+            k = ((a << 16) | b).astype(jnp.int32)
+            p1 = mix_hash_jnp(a, b, m - 1)
+            p2 = mix_hash2_jnp(a, b, m - 1)
+            r1 = t1[p1]
+            r2 = t2[p2]
+            hit1 = (r1[..., 0] == k) & valid
+            hit2 = (r2[..., 0] == k) & valid
+            rm = jnp.where(hit1, r1[..., 1], r2[..., 1])
+            hit = hit1 | hit2
+            rank = jnp.where(
+                hit, (rm >> 16) & 0xFFFF, INF_RANK
+            )
+            minted = rm & 0xFFFF
+            return rank, minted
+
+        return f
+
+    variants["cuckoo2_i32"] = make_body(lookup_cuckoo2_i32(ct1_i, ct2_i, m))
+    # one [2m,2] array, both probes (second offset by m): one operand,
+    # two gathers — tests whether operand count matters
+    cboth = jnp.asarray(np.concatenate([t1_np, t2_np], axis=0))
+
+    def lookup_cuckoo2_one(t, m):
+        def f(a, b, valid):
+            k = (a.astype(jnp.uint32) << 16) | b.astype(jnp.uint32)
+            p1 = mix_hash_jnp(a, b, m - 1)
+            p2 = mix_hash2_jnp(a, b, m - 1) + m
+            r1 = t[p1]
+            r2 = t[p2]
+            hit1 = (r1[..., 0] == k) & valid
+            hit2 = (r2[..., 0] == k) & valid
+            rm = jnp.where(hit1, r1[..., 1], r2[..., 1])
+            hit = hit1 | hit2
+            rank = jnp.where(
+                hit, (rm >> np.uint32(16)).astype(jnp.int32), INF_RANK
+            )
+            minted = (rm & np.uint32(0xFFFF)).astype(jnp.int32)
+            return rank, minted
+
+        return f
+
+    variants["cuckoo2_one"] = make_body(lookup_cuckoo2_one(cboth, m))
+
     sel = set(sys.argv[1:])
     for name, body in variants.items():
         if sel and name not in sel:
