@@ -404,11 +404,26 @@ def main():
     # chip measurement FIRST (VERDICT r3 item 2): the small-bucket merge
     # rate + the device exactness gate must land in every BENCH run even
     # under a cold remote-compile service; everything downstream also
-    # reuses the shapes this stage compiles
+    # reuses the shapes this stage compiles.  A cheap dispatch probe
+    # gates the stage: a wedged/busy chip costs 75s here, not the whole
+    # device budget (the service recovers on its own — later stages
+    # retry their own dispatches under their own budgets).
+    def _chip_probe():
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        return int(np.asarray(jnp.arange(8).sum()))
+
     dev_detail: dict = {}
-    _, err = _budgeted(
-        lambda: _device_detail(tok, texts, dev_detail), _stage_budget(240)
-    )
+    _, probe_err = _budgeted(_chip_probe, _stage_budget(75))
+    if probe_err is not None:
+        err = TimeoutError(f"chip probe failed: {probe_err}")
+    else:
+        _, err = _budgeted(
+            lambda: _device_detail(tok, texts, dev_detail),
+            _stage_budget(240),
+        )
     for _ in range(3):
         try:
             detail.update(dict(dev_detail))

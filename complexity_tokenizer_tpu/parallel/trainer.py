@@ -63,6 +63,19 @@ def make_initial_hist(v0: int):
 def make_merge_step(vocab_bound: int):
     """jittable: apply pair (a,b)->new_id to all rows; emit net deltas.
 
+    Round-4 form: TOMBSTONE layout — merged-away slots become -1 and
+    stay in place; every neighbor relation is a carry scan along the
+    alive chain (the encode kernel's idiom, ops/merge.py).  The r3 form
+    re-compacted each row with a stable argsort per step; sorts are the
+    one expensive primitive on TPU while the scans are ~free, and the
+    tombstone form is bit-equivalent (the word IS its alive
+    subsequence).  The alternation rule for overlapping a==b runs
+    (merge occurrences 1st, 3rd, ... left-to-right, exactly the
+    reference's sequential pass, trainer.rs:536-588) is a consecutive-
+    match counter scan: each lane composes an affine update (reset /
+    increment / identity) over the alive chain, and odd counts are
+    selected.
+
     Returns (words', delta [vocab_bound, 4] int32, minted_freq int32):
       kind 0: destroyed (x, a) counts indexed by x
       kind 1: destroyed (b, y) counts indexed by y
@@ -72,53 +85,91 @@ def make_merge_step(vocab_bound: int):
     import jax
     import jax.numpy as jnp
 
+    from ..ops.merge import _carry_first, _carry_last, _shift_left, _shift_right
+
     V = vocab_bound
 
+    def nxt(v, alive):
+        """Value at the NEXT alive lane (any fill where none)."""
+        return _shift_left(_carry_first(v, alive, 1), jnp.int32(-1))
+
+    def prv(v, alive):
+        """Value at the PREVIOUS alive lane (-1/False where none)."""
+        return _shift_right(_carry_last(v, alive, 1), jnp.int32(-1))
+
+    def prv_b(v, alive):
+        return _shift_right(_carry_last(v, alive, 1), False)
+
+    def nxt_b(v, alive):
+        return _shift_left(_carry_first(v, alive, 1), False)
+
     def fn(words, freqs, a, b, new_id):
-        n, W = words.shape
-        idx = jnp.arange(W, dtype=jnp.int32)[None, :]
-        w_next = jnp.concatenate(
-            [words[:, 1:], jnp.full((n, 1), -1, jnp.int32)], axis=1
+        t = words
+        alive = t >= 0
+        t_next = nxt(t, alive)
+        has_next = nxt_b(alive, alive)
+        matches = alive & (t == a) & has_next & (t_next == b)
+
+        # consecutive-match count along the alive chain, as an affine
+        # composition scan: alive match -> x+1, alive non-match -> 0,
+        # tombstone -> identity.  (mult, add) composes associatively:
+        # (m2, a2) after (m1, a1) = (m1*m2, a1*m2 + a2).
+        mult = jnp.where(alive & ~matches, 0, 1).astype(jnp.int32)
+        add = jnp.where(matches, 1, 0).astype(jnp.int32)
+
+        def comb(x, y):
+            m1, a1 = x
+            m2, a2 = y
+            return m1 * m2, a1 * m2 + a2
+
+        _m, cnt = jax.lax.associative_scan(comb, (mult, add), axis=1)
+        selected = matches & (cnt % 2 == 1)
+
+        killed = alive & prv_b(selected, alive)
+
+        # neighborhood values BEFORE application
+        x_val = prv(t, alive)
+        has_prev = prv_b(alive, alive)
+        y_val = nxt(t_next, alive)  # two alive steps ahead
+        has_y = nxt_b(has_next, alive)
+        # previous match chain-adjacent (its partner is our immediate
+        # alive predecessor) <=> the lane two alive steps back is a
+        # selected match start
+        sel_prev2 = prv_b(prv_b(selected, alive), alive)
+        # next match start sits AT y and is selected
+        sel_next2 = nxt_b(nxt_b(selected, alive), alive)
+
+        f = jnp.broadcast_to(
+            freqs[:, None].astype(jnp.int32), t.shape
         )
-        matches = (words == a) & (w_next == b)
-        # leftmost non-overlap parity (only needed when a == b)
-        not_m = jnp.where(matches, -1, idx)
-        last_nm = jax.lax.cummax(not_m, axis=1)
-        selected = matches & ((idx - last_nm - 1) % 2 == 0)
-
-        sel_prev2 = jnp.pad(selected[:, :-2], ((0, 0), (2, 0)))  # selected[i-2]
-        sel_next2 = jnp.pad(selected[:, 2:], ((0, 0), (0, 2)))  # selected[i+2]
-        w_prev = jnp.pad(words[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-        w_next2 = jnp.pad(words[:, 2:], ((0, 0), (0, 2)), constant_values=-1)
-
-        f = freqs[:, None].astype(jnp.int32)
-        left_alive = selected & (w_prev >= 0)
-        right_alive = selected & (w_next2 >= 0)
+        left_alive = selected & has_prev
+        right_alive = selected & has_y
 
         delta = jnp.zeros((V, 4), dtype=jnp.int32)
         # destroyed (x, a): always when left neighbor alive
-        delta = delta.at[jnp.where(left_alive, w_prev, V - 1), 0].add(
+        delta = delta.at[jnp.where(left_alive, x_val, V - 1), 0].add(
             jnp.where(left_alive, f, 0)
         )
         # destroyed (b, y): only when y is not the 'a' of the next match
         dr = right_alive & ~sel_next2
-        delta = delta.at[jnp.where(dr, w_next2, V - 1), 1].add(jnp.where(dr, f, 0))
+        delta = delta.at[jnp.where(dr, y_val, V - 1), 1].add(
+            jnp.where(dr, f, 0)
+        )
         # created (x', new): x' = new if previous match adjacent
-        xp = jnp.where(sel_prev2, new_id, w_prev)
+        xp = jnp.where(sel_prev2, new_id, x_val)
         delta = delta.at[jnp.where(left_alive, xp, V - 1), 2].add(
             jnp.where(left_alive, f, 0)
         )
         # created (new, y'): only when not absorbed by the next match
-        delta = delta.at[jnp.where(dr, w_next2, V - 1), 3].add(jnp.where(dr, f, 0))
+        delta = delta.at[jnp.where(dr, y_val, V - 1), 3].add(
+            jnp.where(dr, f, 0)
+        )
 
         minted = jnp.sum(jnp.where(selected, f, 0))
 
-        # apply: replace match starts, kill partners, compact
-        out = jnp.where(selected, new_id, words)
-        kill = jnp.pad(selected[:, :-1], ((0, 0), (1, 0)))
-        out = jnp.where(kill, -1, out)
-        order = jnp.argsort((out < 0).astype(jnp.int32), axis=1, stable=True)
-        out = jnp.take_along_axis(out, order, axis=1)
+        # apply in place: replace match starts, tombstone partners
+        out = jnp.where(selected, new_id, t)
+        out = jnp.where(killed, -1, out)
         return out, delta, minted
 
     return fn

@@ -113,7 +113,8 @@ def test_merge_step_deltas_adjacent_occurrences():
     out = np.asarray(out)
     delta = np.asarray(delta)
     assert minted == 6  # two occurrences x freq 3
-    assert out[0, :4].tolist() == [x, N, N, y]
+    # tombstone layout (round 4): the word IS its alive subsequence
+    assert out[0][out[0] >= 0].tolist() == [x, N, N, y]
     # destroyed (x,a): x edge and (b,a) between matches
     assert delta[x, 0] == 3 and delta[b, 0] == 3
     # destroyed (b,y): right edge of last match only
@@ -135,7 +136,7 @@ def test_merge_step_overlapping_same_token():
     out, delta, minted = step(words, freqs, np.int32(a), np.int32(a), np.int32(N))
     out = np.asarray(out)
     assert minted == 2
-    assert out[0, :2].tolist() == [N, a]
+    assert out[0][out[0] >= 0].tolist() == [N, a]
 
 
 def test_distributed_unigram_trainer_matches_host():
