@@ -434,3 +434,42 @@ def test_warm_cache_artifact_roundtrip(tmp_path, monkeypatch):
     tok3 = Tokenizer.from_file(p)
     assert tok3._get_native_encoder() is not None
     assert tok3.encode_batch(texts) == [tok3._encode_host(t) for t in texts]
+
+
+def test_warm_start_with_added_tokens_parity(monkeypatch):
+    """Warm-started caches must not break added-token routing: a cache
+    entry exists for the special token's BYTE form (it is the merge of
+    those bytes, unused by the added-token path), while texts containing
+    the token still route through the host matcher."""
+    import json as _json
+
+    from helpers import trained_tokenizer_json
+
+    from complexity_tokenizer_tpu.tokenizer import Tokenizer
+
+    monkeypatch.setenv("CTOK_WARM_START", "1")
+    j = _json.loads(trained_tokenizer_json())
+    j["added_tokens"] = [
+        {
+            "id": len(j["model"]["vocab"]),
+            "content": "<|end|>",
+            "special": True,
+            "single_word": False,
+            "lstrip": False,
+            "rstrip": False,
+            "normalized": False,
+        }
+    ]
+    tok = Tokenizer.from_str(_json.dumps(j))
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    tok.warm_start()
+    texts = [
+        "hello world <|end|>",
+        "<|end|> the fox",
+        "no special here",
+        "that's<|end|>tight",
+    ]
+    got = tok.encode_batch(texts)
+    want = [tok._encode_host(t) for t in texts]
+    assert got == want
