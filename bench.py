@@ -773,20 +773,23 @@ def main():
     if not conformance_ok:
         bytes_per_s = 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "batch_encode_bytes_per_s",
-                "value": round(bytes_per_s, 1),
-                "unit": "bytes/s",
-                "vs_baseline": round(bytes_per_s / BASELINE_BYTES_PER_S, 3),
-                "detail": detail,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "batch_encode_bytes_per_s",
+            "value": round(bytes_per_s, 1),
+            "unit": "bytes/s",
+            "vs_baseline": round(bytes_per_s / BASELINE_BYTES_PER_S, 3),
+            "detail": detail,
+        }
     )
-    sys.stdout.flush()
+    # write STRAIGHT to fd 1, bypassing sys.stdout: a budget-abandoned
+    # thread parked inside a contextlib.redirect_stdout (the trainer
+    # stage suppresses progress prints) leaves the GLOBAL sys.stdout
+    # pointing at its StringIO until that thread dies — three runs this
+    # round "lost" their final line into that buffer while exiting 0
+    os.write(1, (line + "\n").encode())
     try:
-        _SENTINEL.write_text("done")
+        _SENTINEL.write_text(os.environ.get("CTOK_BENCH_TOKEN", "done"))
     except Exception:
         pass
     # hard exit: an abandoned budgeted thread may still sit inside a slow
@@ -820,10 +823,14 @@ def _supervised() -> None:
         _SNAPSHOT.unlink(missing_ok=True)
     except OSError:
         pass
-    env = dict(os.environ, CTOK_BENCH_CHILD="1")
+    token = f"bench-{os.getpid()}-{time.time_ns()}"
+    env = dict(os.environ, CTOK_BENCH_CHILD="1", CTOK_BENCH_TOKEN=token)
     rc = subprocess.call([sys.executable, os.path.abspath(__file__)], env=env)
-    if _SENTINEL.exists():
-        return  # child printed the real line
+    try:
+        if _SENTINEL.read_text() == token:
+            return  # THIS run's child printed the real line
+    except OSError:
+        pass
     detail: dict = {}
     bps = 0.0
     try:
