@@ -446,7 +446,9 @@ def main():
         return int(np.asarray(jnp.arange(8).sum()))
 
     dev_detail: dict = {}
-    _, probe_err = _budgeted(_chip_probe, _stage_budget(75))
+    # 160s: a healthy-but-busy service has measured 75-130s for a fresh
+    # process's FIRST dispatch; once attached, later dispatches are ms
+    _, probe_err = _budgeted(_chip_probe, _stage_budget(160))
     if probe_err is not None:
         err = TimeoutError(f"chip probe failed: {probe_err}")
     else:
