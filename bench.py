@@ -475,21 +475,6 @@ def main():
 
     _snapshot(detail)
 
-    # distributed trainer on the real chip (VERDICT r3 item 5): a short
-    # mesh-trainer run (n=1 mesh on TPU) measuring ms/merge
-    tr_detail: dict = {}
-    _, tr_err = _budgeted(
-        lambda: _device_trainer_detail(texts, tr_detail), _stage_budget(90)
-    )
-    for _ in range(3):
-        try:
-            detail.update(dict(tr_detail))
-            break
-        except RuntimeError:  # pragma: no cover
-            continue
-    if tr_err is not None:
-        detail["device_train_error"] = str(tr_err)[:200]
-
     _snapshot(detail)
 
     # parity gates (exactness is the product): ~435 ASCII rows + the full
@@ -516,6 +501,24 @@ def main():
     detail["multilingual_exact_match_rate"] = _exact_rate(
         tok, multi, tok.encode_batch(multi)
     )
+
+    # distributed trainer on the real chip (VERDICT r3 item 5): a short
+    # mesh-trainer run (n=1 mesh on TPU) measuring ms/merge.  Runs AFTER
+    # the multilingual fill: if this stage times out, its abandoned
+    # thread keeps dispatching in the background and would contend with
+    # any later synchronous device stage.
+    tr_detail: dict = {}
+    _, tr_err = _budgeted(
+        lambda: _device_trainer_detail(texts, tr_detail), _stage_budget(90)
+    )
+    for _ in range(3):
+        try:
+            detail.update(dict(tr_detail))
+            break
+        except RuntimeError:  # pragma: no cover
+            continue
+    if tr_err is not None:
+        detail["device_train_error"] = str(tr_err)[:200]
     mflat, moffs = tok.encode_batch_ragged(multi)
     detail["multilingual_ragged_exact"] = _exact_rate(
         tok,
