@@ -13,8 +13,12 @@ TPU design (v3):
   token/word, neighbor pair ranks, partner kill) is a first/last-valid
   associative scan along the lane axis — scans are nearly free on TPU
   while data-dependent gathers are the dominant cost.
-- **perfect-hash rank lookup**: a CHD table resolves pair -> (rank, minted
-  id) in exactly two gathers (displacement + packed [T,4] row).
+- **pair-table rank lookup**: a packed-row two-choice cuckoo table
+  resolves pair -> (rank, minted id) with two INDEPENDENT [m,2] u32 row
+  gathers (they overlap on-chip; chosen by on-chip A/B over CHD and a
+  quotient-compressed variant, PROFILE.md round 4).  A CHD perfect-hash
+  table (serial displacement -> [T,4] row chain) remains the fallback
+  for vocabs whose ids/ranks exceed u16 packing.
 - **per-word minimum-rank apply**: each iteration merges, in every word
   simultaneously, all non-overlapping occurrences of that word's
   lowest-rank pair (leading occurrence first in overlapping runs).  This

@@ -79,7 +79,7 @@ class EncodePipeline:
         self.rows = jnp.asarray(tables.chd.rows)
         self.table_size = tables.chd.size
         self.n_buckets = tables.chd.n_buckets
-        # quotient-cuckoo fast path (round 4); None -> CHD fallback
+        # two-choice cuckoo fast path (round 4); None -> CHD fallback
         if tables.qc is not None:
             self.qc_t1 = jnp.asarray(tables.qc.t1)
             self.qc_t2 = jnp.asarray(tables.qc.t2)
@@ -92,7 +92,7 @@ class EncodePipeline:
 
     def merge_fixpoint(self, tokens, wid):
         """The segmented merge fixpoint over this pipeline's pair table
-        (quotient-cuckoo when eligible, CHD otherwise) — the one entry
+        (two-choice cuckoo when eligible, CHD otherwise) — the one entry
         point every device encode body shares."""
         from .merge import merge_words, merge_words_qc
 

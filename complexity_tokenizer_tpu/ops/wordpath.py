@@ -260,7 +260,7 @@ class DeviceWordEncoder:
             wid = jnp.where(valid, wid, -1)
             tokens = byte_token_table[bytes_bw.astype(jnp.int32)]
             tokens = jnp.where(valid, tokens, -1)
-            # quotient-cuckoo table when eligible, CHD fallback otherwise
+            # two-choice cuckoo table when eligible, CHD fallback otherwise
             merged, _counts = p.merge_fixpoint(tokens, wid)
             alive = merged >= 0
             aflat = alive.reshape(-1)
