@@ -476,8 +476,6 @@ def main():
 
     _snapshot(detail)
 
-    _snapshot(detail)
-
     # parity gates (exactness is the product): ~435 ASCII rows + the full
     # multilingual/NFC conformance corpus (BASELINE configs 3 & 4), both
     # through the production batch path

@@ -203,8 +203,11 @@ def build_qc_table(
     b_arr = np.array([k[1] for k in keys], np.int64)
     # ranks are sparse (skipped merges keep original enumeration indices,
     # core/bpe.py build_merge_tables) — u16 packing needs the MAX rank
-    # in range, not just the count.  ids capped below 0xFFFF so the
-    # empty-slot key 0xFFFFFFFF can never equal a real key.
+    # in range, not just the count.  ALL ids (pair elements AND minted)
+    # capped below 0xFFFF: a runtime-adjacent pair (65535, 65535) would
+    # pack to 0xFFFFFFFF, the empty-slot sentinel, and false-hit on any
+    # empty slot; qc_lookup_jnp also masks the sentinel as a second line
+    # of defense (ids outside every merge pair can still reach 0xFFFF).
     max_rank = max(merge_ranks.values())
     minted = [merge_ops[r][1] for r in merge_ranks.values()]
     if (
@@ -213,7 +216,7 @@ def build_qc_table(
         or a_arr.max() >= 0xFFFF
         or b_arr.max() >= 0xFFFF
         or max_rank >= 0x10000
-        or max(minted) >= 0x10000
+        or max(minted) >= 0xFFFF
         or min(minted) < 0
     ):
         return None
@@ -272,6 +275,9 @@ def qc_lookup_jnp(t1, t2, size: int, a, b, valid):
     import jax.numpy as jnp
 
     k = (a.astype(jnp.uint32) << 16) | b.astype(jnp.uint32)
+    # a pair packing to the empty-slot sentinel (65535, 65535) must never
+    # match: empty slots hold key 0xFFFFFFFF (ADVICE r4 high finding)
+    valid = valid & (k != np.uint32(0xFFFFFFFF))
     p1 = mix_hash_jnp(a, b, size - 1)
     p2 = mix_hash2_jnp(a, b, size - 1)
     r1 = t1[p1]  # [..., 2] — independent of r2: the probes overlap

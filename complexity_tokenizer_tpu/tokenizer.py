@@ -638,7 +638,10 @@ class Tokenizer:
         ids_flat, counts = native.warm_start(words_buf, lens_np)
         if blob is not None:
             try:
-                tmp = blob.with_suffix(".tmp.npz")
+                # per-process tmp name: concurrent loaders recomputing the
+                # same blob must not clobber each other's partial writes
+                # (the rename itself is atomic; ADVICE r4)
+                tmp = blob.with_suffix(f".tmp{os.getpid()}.npz")
                 np.savez(
                     tmp, key=key, words_buf=words_buf, lens=lens_np,
                     ids_flat=ids_flat, counts=counts,
@@ -698,7 +701,7 @@ class Tokenizer:
         words_buf = np.frombuffer(b"".join(parts), np.uint8)
         lens_np = np.asarray(lens, np.int64)
         ids_flat, counts = native.warm_start(words_buf, lens_np)
-        tmp = blob.with_suffix(".tmp.npz")
+        tmp = blob.with_suffix(f".tmp{os.getpid()}.npz")
         np.savez(
             tmp, key=self._warm_key(), words_buf=words_buf, lens=lens_np,
             ids_flat=ids_flat, counts=counts,

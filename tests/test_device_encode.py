@@ -557,6 +557,23 @@ def test_qc_table_eligibility():
     assert (
         build_qc_table({(1, 2): 0}, {0: ((1, 2), 0x10000)}) is None
     )
+    # minted id of exactly 0xFFFF is REJECTED: a runtime-adjacent pair
+    # (65535, 65535) packs to 0xFFFFFFFF = the empty-slot sentinel and
+    # would false-hit on empty slots (ADVICE r4 high finding)
+    assert (
+        build_qc_table({(1, 2): 0}, {0: ((1, 2), 0xFFFF)}) is None
+    )
+    # ...and the lookup itself masks the sentinel pair: probing
+    # (65535, 65535) must miss (INF_RANK), never alias an empty slot
+    from complexity_tokenizer_tpu.ops.hashtable import INF_RANK
+
+    rank, _ = qc_lookup_jnp(
+        jnp.asarray(qc.t1), jnp.asarray(qc.t2), qc.size,
+        jnp.asarray(np.array([0xFFFF], np.int32)),
+        jnp.asarray(np.array([0xFFFF], np.int32)),
+        jnp.ones(1, bool),
+    )
+    assert int(np.asarray(rank)[0]) == int(INF_RANK)
 
 
 def test_merge_words_qc_matches_chd(tok, pipeline):

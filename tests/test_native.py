@@ -386,10 +386,24 @@ def test_warm_start_parity_and_cache_hits(monkeypatch):
         pytest.skip("native runtime unavailable")
     n = tok.warm_start()  # forced (small test vocab)
     assert n > 0
-    # every vocab word is now cached: a corpus of vocab words misses 0
+    # warm-started words stop registering as misses: any word still in
+    # the miss scan must be a MULTI-token word (warm_start covers every
+    # single-token vocab word; multi-token corpus words are the warm-
+    # cache ARTIFACT's job, tested below)
     texts = ["hello world the fox and dog", "The thing that is more"]
     data = tok._prepare_bytes([tok.normalizer.normalize(t) for t in texts])
-    _, lens = native.collect_miss_words(data, 128)
+    bufs, lens = native.collect_miss_words(data, 128)
+    import numpy as np
+
+    from complexity_tokenizer_tpu.utils.bytelevel import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    raw = np.asarray(bufs, np.uint8).tobytes()
+    for i in range(len(lens)):
+        w = "".join(b2u[c] for c in raw[offs[i] : offs[i + 1]])
+        assert w not in tok.bpe.vocab, f"vocab word {w!r} still misses"
     # parity through the production path (front cache + shared caches)
     got = tok.encode_batch(texts)
     want = [tok._encode_host(t) for t in texts]
