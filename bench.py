@@ -7,13 +7,34 @@ Baseline: the reference README's best published figure — batch encode of
 10K texts in ~20 ms on all CPU cores (README.md:66-72), i.e. ~50 MB/s at
 ~100 B/text (BASELINE.md "derived").  vs_baseline = our bytes/s / 50e6.
 
-Honesty rules (round-3 rework — realistic entropy):
+Honesty rules (round-3 realistic entropy + round-5 measurement topology):
 - the corpus is synthesized from a Zipf-distributed lexicon of 50K
   distinct hash-derived pseudo-words over a trained ~50K vocab (BASELINE
   config 1 scale), so the word caches cannot trivially memorize it: the
   measured warm rate is cache-assembly over a multi-MB table set and the
   cold rate pays a genuine merge per distinct word.  The corpus'
   distinct-word count is reported in ``corpus_distinct_words``.
+- ROUND-5 TOPOLOGY: all chip work runs in ONE dedicated worker
+  subprocess launched at t=0 (the remote TPU service admits one client;
+  a fresh process's first dispatch alone has measured 75-260s on a busy
+  service, so the worker gets the whole bench wall instead of a
+  serialized budget slice).  The worker measures the merge kernel on
+  novel words, chip-encodes every distinct corpus + multilingual word,
+  and dumps the (word -> ids) results to an npz; the main process
+  bulk-loads that dump into its caches so the parity gates below are
+  served through chip-computed entries (``device_fill_complete``), then
+  re-gates exactness.  Worker results stream to a JSON file after every
+  stage — a hung late stage cannot erase earlier chip evidence.
+- NOISE: the measurement host is a 2-vCPU VM with heavy neighbor noise
+  (identical runs have measured 2-3x apart across sessions).  The bench
+  therefore (a) times a fixed-cost deterministic calibration workload at
+  several points and reports ``noise_index`` (measured / quiet-host
+  reference — 1.0 means a quiet machine, 2.0 means everything CPU-bound
+  is running at half speed), (b) reads /proc/stat steal deltas, and
+  (c) spreads the headline's best-of windows across the whole run,
+  each flagged with whether the device worker was live (its RPC waits
+  busy-poll a core).  The headline is the best window; every window is
+  reported.
 - warm AND cold are both first-class numbers: the headline is the warm
   steady-state production path; ``cold_cache_bytes_per_s`` is a fresh
   ``from_file`` process's FIRST batch (best of two independent fresh
@@ -21,17 +42,22 @@ Honesty rules (round-3 rework — realistic entropy):
   trainer-shipped warm-cache artifact active — and
   ``cold_nowarmstart_bytes_per_s`` alongside it showing the same first
   batch under the reference's model (every distinct word re-merged).
-- every device number is measured fresh, in this process, on this run —
+  The cold pass is instrumented (VERDICT r4 item 4): artifact presence,
+  bulk-loaded word count, and the first batch's distinct-miss count are
+  all reported so an ineffective artifact is visible, not inferable.
+- every device number is measured fresh, in this run, by the worker —
   there is no cached-figure fallback; a device failure is reported as
   ``device_error`` and nothing is backfilled.
 - parity is bench-gated: ASCII, multilingual (BASELINE config 3), decode
-  round-trip AND offset-mapping conformance failures zero out
-  ``vs_baseline`` so a divergence can never hide behind a fast number.
+  round-trip, offset-mapping, cold-process, and post-chip-fill
+  conformance failures zero out ``vs_baseline`` so a divergence can
+  never hide behind a fast number.
 """
 
 import json
 import os
 import random
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -44,6 +70,12 @@ VOCAB_SIZE = 50_000
 LEXICON_SIZE = 50_000
 N_TEXTS = 10_000
 BASELINE_BYTES_PER_S = 50e6
+
+# quiet-host reference for the fixed-cost calibration workload (min of
+# repeated best-of-5 runs of the 1M-float sort on this VM class, measured
+# 2026-08-21 on an idle-ish host); noise_index = measured_best / this
+CALIB_SORT_REF_S = 0.0088
+
 
 def _zipf_lexicon(n: int = LEXICON_SIZE, seed: int = 3) -> list[str]:
     """n distinct hash-derived pseudo-words, rank-correlated lengths
@@ -86,7 +118,7 @@ def _lexicon() -> list[str]:
 # pre-tokenizer regex edge cases (config 4).  Includes decomposed forms
 # (e + combining acute), mixed scripts, contractions, whitespace runs.
 _MULTI_PIECES = [
-    "café", "café", "naïve", "naïve", "über",
+    "café", "café", "naïve", "naïve", "über",
     "straße", "日本語", "中文", "한국어",
     "Ελληνικά", "русский",
     "العربية", "עברית",
@@ -94,7 +126,7 @@ _MULTI_PIECES = [
     "mixedテストwords", "it's", "don't", "we'll", "they've",
     "I'm", "you'd", "    spaces    runs", "tabs\t\tand\nnewlines",
     "123世界456", "punc!!!???...", "'''quotes'''",
-    "Ą̊ring", "ṩḍ̇ odd NFC",
+    "Ą̊ring", "ṩḍ̇ odd NFC",
 ]
 
 
@@ -191,21 +223,49 @@ def _time_best(fn, n=5):
     return best
 
 
-# Wall budget for device-BLOCKING waits (sync fills, drains, the chip
-# measurement).  The remote compile service's latency is a lottery — from
-# ~2 s (warm cache) to many minutes (cold cache + busy service) — and the
-# bench must always print its line in bounded time.  Anything that
-# exceeds the remaining budget is skipped with an honest device_error /
-# device_busy marker; nothing is backfilled.  The async auto fill itself
-# is non-blocking by design and needs no budget.
-#
-# The budget is PARTITIONED per stage (VERDICT r3 item 2): the chip
-# measurement (`_device_detail`, small bucket first) runs FIRST and owns
-# the largest slice, so a fresh on-chip number + the device exactness
-# gate land in every BENCH even when one cold compile eats minutes;
-# later stages get capped slices of whatever remains instead of one
-# stage starving all of them.
-_DEVICE_BUDGET_S = 420.0
+# ---------------------------------------------------------------------------
+# noise calibration (VERDICT r4 item 2)
+# ---------------------------------------------------------------------------
+
+_CALIB_ARR = None
+
+
+def _calib_sort_s() -> float:
+    """Fixed-cost deterministic pure-CPU workload (single-thread 1M-float
+    sort, best of 5).  Its ratio to CALIB_SORT_REF_S quantifies how much
+    CPU the VM is actually delivering at this moment."""
+    global _CALIB_ARR
+    import numpy as np
+
+    if _CALIB_ARR is None:
+        _CALIB_ARR = np.random.RandomState(9).rand(1_000_000)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.sort(_CALIB_ARR.copy()).sum()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _read_proc_stat():
+    """(steal_jiffies, total_jiffies) from the aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+# ---------------------------------------------------------------------------
+# wall budgets
+# ---------------------------------------------------------------------------
+
+# Main-process wall budget for waiting on the device worker; the worker
+# carries its own budget (CTOK_BENCH_DEVICE_BUDGET) and self-terminates.
+_DEVICE_BUDGET_S = 430.0
 _budget_t0 = time.monotonic()
 
 
@@ -220,10 +280,10 @@ def _stage_budget(cap: float) -> float:
 
 def _budgeted(fn, seconds):
     """Run fn() on a daemon thread with a wall timeout.  Returns
-    (result, error); on timeout the thread is abandoned (the bench exits
-    via os._exit, so a stuck remote compile can never wedge the run).
-    fn must not mutate shared state the caller reads afterwards — an
-    abandoned thread may still be running."""
+    (result, error); on timeout the thread is abandoned (the process
+    exits via os._exit, so a stuck remote compile can never wedge the
+    run).  fn must not mutate shared state the caller reads afterwards —
+    an abandoned thread may still be running."""
     if seconds <= 0:
         return None, TimeoutError("device budget exhausted")
     from threading import Thread
@@ -246,21 +306,45 @@ def _budgeted(fn, seconds):
     return box.get("r"), None
 
 
-def _drain_auto(tok, timeout=None):
-    """Let an in-flight auto device fill land so timed passes are steady.
-    Bounded by the device budget — an unlanded fill only means the word
-    caches stay host-filled (results identical)."""
-    wp = tok._auto_word_path()
-    if wp is not None:
-        wp.drain_async(
-            timeout=min(timeout or _DEVICE_BUDGET_S, _budget_left())
-        )
-    return wp
-
-
 def _exact_rate(tok, texts, rows) -> float:
     host = [tok._encode_host(t) for t in texts]
     return sum(1 for d, h in zip(rows, host) if d == h) / max(len(texts), 1)
+
+
+# ---------------------------------------------------------------------------
+# device worker (separate process; sole chip client)
+# ---------------------------------------------------------------------------
+
+_DEV_JSON = CACHE / "bench_device_stage.json"
+_DEV_FILL = CACHE / "bench_device_fill.npz"
+_DEV_LOG = CACHE / "bench_device_worker.log"
+
+
+def _dev_write(d: dict) -> None:
+    """Atomic incremental result write: later hung stages cannot erase
+    earlier chip evidence."""
+    try:
+        CACHE.mkdir(exist_ok=True)
+        tmp = _DEV_JSON.with_suffix(f".tmp{os.getpid()}")
+        tmp.write_text(json.dumps(d))
+        tmp.replace(_DEV_JSON)
+    except Exception:
+        pass
+
+
+def _read_dev_json() -> dict:
+    try:
+        return json.loads(_DEV_JSON.read_text())
+    except Exception:
+        return {}
+
+
+def _chip_probe():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    return int(np.asarray(jnp.arange(8).sum()))
 
 
 def _device_detail(tok, texts, detail):
@@ -281,7 +365,6 @@ def _device_detail(tok, texts, detail):
         )
     except Exception:
         pass
-    rng = np.random.RandomState(0)
 
     def _novel_words(n_words: int, seed: int):
         # realistic novel-word traffic: unseen hash-derived pseudo-words
@@ -335,7 +418,8 @@ def _device_detail(tok, texts, detail):
     # bucket (better dispatch amortization) upgrades the headline keys
     # when budget remains
     _measure(64, "_64rows")
-    if _budget_left() > 240:
+    _dev_write_stage(detail)
+    if _budget_left() > 150:
         _measure(4096, "")
     else:
         for k in (
@@ -348,12 +432,77 @@ def _device_detail(tok, texts, detail):
         detail["device_large_bucket_skipped"] = "device budget low"
 
 
+_DEV_STAGE_SINK: dict | None = None
+
+
+def _dev_write_stage(detail: dict) -> None:
+    """Mid-stage flush hook: in the worker, persist partial keys."""
+    if _DEV_STAGE_SINK is not None:
+        d = dict(_DEV_STAGE_SINK)
+        for _ in range(3):
+            try:
+                d.update(dict(detail))
+                break
+            except RuntimeError:  # pragma: no cover — mutated mid-copy
+                continue
+        _dev_write(d)
+
+
+def _device_fill_dump(tok, texts, detail):
+    """Chip-encode every distinct corpus + multilingual word and dump the
+    (words, lens, ids, counts) arrays for the main process to bulk-load:
+    the parity gates then run over chip-computed cache entries, and the
+    fill rate here is the production auto-fill's cost, measured clean."""
+    import numpy as np
+
+    wp = tok._get_word_path()
+    if wp is None:
+        detail["device_fill_error"] = "word path unavailable"
+        return
+    data = tok._prepare_bytes(tok._normalize_batch(texts))
+    wb, lens = wp.native.collect_miss_words(data, 128)
+    t0 = time.perf_counter()
+    ids, counts = wp._encode_words_packed(wb, lens)
+    dt = time.perf_counter() - t0
+    detail["device_corpus_fill_s"] = round(dt, 3)
+    detail["device_corpus_fill_words"] = int(len(lens))
+    detail["device_corpus_fill_covered"] = int((counts >= 0).sum())
+    detail["device_corpus_fill_words_per_s"] = round(len(lens) / dt, 1)
+    # insert into the WORKER's caches so the multilingual scan below only
+    # yields genuinely new words
+    wp._insert_covered(wb, lens, ids, counts)
+    multi = _multi_corpus()
+    mdata = tok._prepare_bytes(tok._normalize_batch(multi))
+    mwb, mlens = wp.native.collect_miss_words(mdata, 128)
+    if len(mlens):
+        mids, mcounts = wp._encode_words_packed(mwb, mlens)
+    else:
+        mwb = np.zeros(0, np.uint8)
+        mids = np.zeros(0, np.int32)
+        mcounts = np.zeros(0, np.int64)
+    detail["device_multi_fill_words"] = int(len(mlens))
+    tmp = _DEV_FILL.with_suffix(f".tmp{os.getpid()}.npz")
+    np.savez(
+        tmp,
+        words_buf=np.asarray(wb, np.uint8),
+        lens=np.asarray(lens, np.int64),
+        ids_flat=np.asarray(ids, np.int32),
+        counts=np.asarray(counts, np.int64),
+        m_words_buf=np.asarray(mwb, np.uint8),
+        m_lens=np.asarray(mlens, np.int64),
+        m_ids_flat=np.asarray(mids, np.int32),
+        m_counts=np.asarray(mcounts, np.int64),
+    )
+    tmp.replace(_DEV_FILL)
+    detail["device_fill_dumped"] = True
+
+
 def _device_trainer_detail(texts, detail):
     """Mesh trainer on the real chip (VERDICT r3 item 5): ms/merge for
     the distributed INL trainer on an n=1 TPU mesh — the same code path
-    the 8-device dryrun scales out, measured on real hardware.  Two runs
-    (v0+50 and v0+250 merges) difference out the shared count/seed-hist
-    cost so the number is the marginal per-merge step time."""
+    the 8-device dryrun scales out, measured on real hardware.  The
+    steady-state per-merge cost of the k-merges-per-dispatch selection
+    is the headline key."""
     import contextlib
     import io
 
@@ -382,10 +531,6 @@ def _device_trainer_detail(texts, detail):
     t_total, m_total, tr = run()
     detail["device_train_merges"] = m_total
     detail["device_train_total_s"] = round(t_total, 3)
-    # the headline number: steady-state per-merge cost of the k-merges-
-    # per-dispatch selection (blocks after the first, which carries the
-    # one-time compile) — directly comparable to the reference's
-    # per-merge pass (trainer.rs:406-516) and the r3 per-merge dispatch
     bt = getattr(tr, "_select_block_times", None)
     bm = getattr(tr, "_select_block_merges", None)
     if bt and bm and len(bt) > 1 and sum(bm[1:]) > 0:
@@ -395,15 +540,163 @@ def _device_trainer_detail(texts, detail):
         detail["device_train_block_dispatches"] = len(bt)
 
 
+def device_worker() -> None:
+    """Worker entry: sole chip client for this bench run.  Streams its
+    results to _DEV_JSON after every stage and self-terminates at its
+    budget; the main process merges whatever has landed."""
+    global _DEVICE_BUDGET_S, _budget_t0, _DEV_STAGE_SINK
+    _DEVICE_BUDGET_S = float(
+        os.environ.get("CTOK_BENCH_DEVICE_BUDGET", "400")
+    )
+    _budget_t0 = time.monotonic()
+    d: dict = {"device_worker_started": True}
+    _DEV_STAGE_SINK = d
+    _dev_write(d)
+
+    def merge(src: dict) -> None:
+        # tolerant dict copy: an abandoned stage thread may still mutate
+        for _ in range(3):
+            try:
+                d.update(dict(src))
+                break
+            except RuntimeError:  # pragma: no cover
+                continue
+
+    t0 = time.perf_counter()
+    # the probe gets the lion's share: on a busy service the FIRST
+    # dispatch of a fresh process has measured 75-260s; once attached,
+    # later dispatches are ms
+    _, probe_err = _budgeted(_chip_probe, _stage_budget(300))
+    d["device_probe_s"] = round(time.perf_counter() - t0, 1)
+    if probe_err is not None:
+        d["device_error"] = f"chip probe failed: {probe_err}"
+        d["device_worker_done"] = True
+        _dev_write(d)
+        os._exit(0)
+    tok = build_tokenizer()
+    texts = bench_texts()
+    dd: dict = {}
+    _, err = _budgeted(
+        lambda: _device_detail(tok, texts, dd), _stage_budget(200)
+    )
+    merge(dd)
+    if err is not None:
+        d["device_error"] = str(err)[:200]
+    for k in (
+        "device_first_fill_s",
+        "device_words_filled",
+        "device_merge_words_per_s",
+        "device_novel_bytes_per_s",
+    ):
+        if k not in d and k + "_64rows" in d:
+            d[k] = d[k + "_64rows"]
+    _dev_write(d)
+    fd: dict = {}
+    _, err = _budgeted(
+        lambda: _device_fill_dump(tok, texts, fd), _stage_budget(150)
+    )
+    merge(fd)
+    if err is not None:
+        d["device_fill_error"] = str(err)[:200]
+    _dev_write(d)
+    td: dict = {}
+    if _budget_left() > 20:
+        _, err = _budgeted(
+            lambda: _device_trainer_detail(texts, td), _stage_budget(120)
+        )
+        merge(td)
+        if err is not None:
+            d["device_train_error"] = str(err)[:200]
+    else:
+        d["device_train_error"] = "skipped: worker budget exhausted"
+    d["device_worker_done"] = True
+    d["device_worker_total_s"] = round(
+        time.monotonic() - _budget_t0, 1
+    )
+    _dev_write(d)
+    # hard exit: an abandoned budgeted thread may still sit inside a
+    # slow remote dispatch; all results are already on disk
+    os._exit(0)
+
+
+def _spawn_worker(budget_s: float) -> "subprocess.Popen":
+    for p in (_DEV_JSON, _DEV_FILL):
+        try:
+            p.unlink(missing_ok=True)
+        except OSError:
+            pass
+    env = dict(
+        os.environ,
+        CTOK_BENCH_ROLE="device",
+        CTOK_BENCH_DEVICE_BUDGET=str(budget_s),
+        # the worker measures the chip on a BARE context: no warm-cache
+        # artifact, so its corpus fill chip-encodes every distinct word
+        # (the full production fill, ~45K words), not just the artifact's
+        # leftovers
+        CTOK_WARM_START="0",
+    )
+    env.pop("CTOK_AUTO_DEVICE", None)
+    CACHE.mkdir(exist_ok=True)
+    log = open(_DEV_LOG, "ab")
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=log,
+        stderr=log,
+    )
+
+
+def _insert_fill_npz(tok, detail) -> int:
+    """Bulk-load the worker's chip-computed word dump into this process'
+    native caches (covered rows only, like wordpath._insert_covered)."""
+    import numpy as np
+
+    native = tok._get_native_encoder()
+    if native is None or not _DEV_FILL.exists():
+        return 0
+    z = np.load(_DEV_FILL)
+    total = 0
+    for pre in ("", "m_"):
+        wb = z[pre + "words_buf"]
+        lens = z[pre + "lens"].astype(np.int32)
+        ids = z[pre + "ids_flat"]
+        counts = z[pre + "counts"]
+        if not len(lens):
+            continue
+        covered = counts >= 0
+        n_cov = int(covered.sum())
+        if n_cov == 0:
+            continue
+        if n_cov == len(lens):
+            native.cache_insert_flat(wb, lens, ids, counts)
+        else:
+            offs = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            keep_lens = lens[covered]
+            out_offs = np.zeros(n_cov + 1, np.int64)
+            np.cumsum(keep_lens, out=out_offs[1:])
+            keep_buf = np.empty(int(out_offs[-1]), np.uint8)
+            starts = offs[:-1][covered]
+            for i in range(n_cov):
+                keep_buf[out_offs[i] : out_offs[i + 1]] = wb[
+                    starts[i] : starts[i] + keep_lens[i]
+                ]
+            native.cache_insert_flat(
+                keep_buf, keep_lens, ids, counts[covered]
+            )
+        total += n_cov
+    detail["device_fill_loaded_words"] = total
+    return total
+
+
 _SNAPSHOT = CACHE / "bench_snapshot.json"
 _SENTINEL = CACHE / "bench_done.sentinel"
 
 
 def _snapshot(detail: dict, bytes_per_s: float | None = None) -> None:
     """Progressive result snapshot: if this process dies before the
-    final line (e.g. an abandoned device thread hitting a hard RPC
-    error aborts the C++ runtime), the parent wrapper prints a valid
-    line from the last snapshot instead of nothing."""
+    final line, the parent wrapper prints a valid line from the last
+    snapshot instead of nothing."""
     try:
         CACHE.mkdir(exist_ok=True)
         tmp = _SNAPSHOT.with_suffix(".tmp")
@@ -416,64 +709,55 @@ def _snapshot(detail: dict, bytes_per_s: float | None = None) -> None:
 
 
 def main():
+    import numpy as np
+
+    steal0, tot0 = _read_proc_stat()
+    calib: list[tuple[str, float]] = [("start", _calib_sort_s())]
+
+    # the worker needs the cached tokenizer file; on a first-ever run,
+    # train it BEFORE spawning (the training run is host-only anyway)
+    if not TOKENIZER_JSON.exists():
+        build_tokenizer()
+    worker = _spawn_worker(
+        float(os.environ.get("CTOK_BENCH_DEVICE_BUDGET", "400"))
+    )
+    # this process NEVER touches the chip: the remote TPU service admits
+    # one client, and the worker is it (memory: a second client degrades
+    # both).  The production auto device fill is therefore disabled here
+    # and its role is played by the worker's chip-fill dump, loaded below.
+    os.environ["CTOK_AUTO_DEVICE"] = "0"
+
     tok = build_tokenizer()
     texts = bench_texts()
     total_bytes = sum(len(t.encode("utf-8")) for t in texts)
-    detail = {"n_texts": N_TEXTS, "total_bytes": total_bytes}
+    detail: dict = {"n_texts": N_TEXTS, "total_bytes": total_bytes}
     detail["vocab_size"] = tok.vocab_size
     detail["corpus_distinct_words"] = len(
         {w for t in texts for w in t.split()}
     )
-    # vocabulary warm-start cost (paid once at native-context build; the
-    # cold measurements below show what it buys)
+    detail["device_fill_mode"] = "worker-subprocess"
     if tok._get_native_encoder() is not None:
         detail["warm_start_ms"] = round(
             getattr(tok, "_warm_start_s", 0.0) * 1e3, 2
         )
+        detail["warm_start_words"] = getattr(tok, "_warm_start_words", 0)
 
-    # chip measurement FIRST (VERDICT r3 item 2): the small-bucket merge
-    # rate + the device exactness gate must land in every BENCH run even
-    # under a cold remote-compile service; everything downstream also
-    # reuses the shapes this stage compiles.  A cheap dispatch probe
-    # gates the stage: a wedged/busy chip costs 75s here, not the whole
-    # device budget (the service recovers on its own — later stages
-    # retry their own dispatches under their own budgets).
-    def _chip_probe():
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
+    # warm the caches (host merges the corpus' distinct words once; the
+    # steady-state headline below is cache assembly, as in production)
+    tok.encode_batch_ragged(texts)
+    tok.encode_batch_ragged(texts)
 
-        return int(np.asarray(jnp.arange(8).sum()))
+    windows: list[dict] = []
 
-    dev_detail: dict = {}
-    # 160s: a healthy-but-busy service has measured 75-130s for a fresh
-    # process's FIRST dispatch; once attached, later dispatches are ms
-    _, probe_err = _budgeted(_chip_probe, _stage_budget(160))
-    chip_down = probe_err is not None
-    if chip_down:
-        err = TimeoutError(f"chip probe failed: {probe_err}")
-    else:
-        _, err = _budgeted(
-            lambda: _device_detail(tok, texts, dev_detail),
-            _stage_budget(240),
+    def _window(tag: str, n: int) -> float:
+        live = worker.poll() is None
+        s = _time_best(lambda: tok.encode_batch_ragged(texts), n=n)
+        windows.append(
+            {"tag": tag, "s": round(s, 4), "worker_live": live}
         )
-    for _ in range(3):
-        try:
-            detail.update(dict(dev_detail))
-            break
-        except RuntimeError:  # pragma: no cover — size changed mid-copy
-            continue
-    if err is not None:
-        detail["device_error"] = str(err)[:200]
-    for k in (
-        "device_first_fill_s",
-        "device_words_filled",
-        "device_merge_words_per_s",
-        "device_novel_bytes_per_s",
-    ):
-        if k not in detail and k + "_64rows" in detail:
-            detail[k] = detail[k + "_64rows"]
+        return s
 
+    _window("early", 12)
     _snapshot(detail)
 
     # parity gates (exactness is the product): ~435 ASCII rows + the full
@@ -484,75 +768,19 @@ def main():
         tok, sample, tok.encode_batch(sample)
     )
     multi = _multi_corpus()
-    # device-merge the multilingual corpus' distinct words (multi-byte
-    # UTF-8 through the packed fill), so the parity gates below are
-    # served through chip-computed cache entries
-    wp_sync = tok._get_word_path()
-    if wp_sync is not None and not chip_down:
-        mdata = tok._prepare_bytes(tok._normalize_batch(multi))
-        n_filled, err = _budgeted(
-            lambda: wp_sync.fill_caches(mdata), _stage_budget(100)
-        )
-        if err is None:
-            detail["device_multi_words_filled"] = n_filled
-        else:
-            detail["device_multi_fill_error"] = str(err)[:200]
-    elif chip_down:
-        detail["device_multi_fill_error"] = "skipped: chip probe failed"
     detail["multilingual_exact_match_rate"] = _exact_rate(
         tok, multi, tok.encode_batch(multi)
     )
-
-    # distributed trainer on the real chip (VERDICT r3 item 5): a short
-    # mesh-trainer run (n=1 mesh on TPU) measuring ms/merge.  Runs AFTER
-    # the multilingual fill: if this stage times out, its abandoned
-    # thread keeps dispatching in the background and would contend with
-    # any later synchronous device stage.
-    tr_detail: dict = {}
-    if chip_down:
-        tr_err = TimeoutError("skipped: chip probe failed (retried below)")
-    else:
-        _, tr_err = _budgeted(
-            lambda: _device_trainer_detail(texts, tr_detail),
-            _stage_budget(90),
-        )
-    for _ in range(3):
-        try:
-            detail.update(dict(tr_detail))
-            break
-        except RuntimeError:  # pragma: no cover
-            continue
-    if tr_err is not None:
-        detail["device_train_error"] = str(tr_err)[:200]
     mflat, moffs = tok.encode_batch_ragged(multi)
     detail["multilingual_ragged_exact"] = _exact_rate(
         tok,
         multi,
         [mflat[moffs[i] : moffs[i + 1]].tolist() for i in range(len(multi))],
     )
-
     _snapshot(detail)
 
-    # headline: the default production batch path (native host assembly;
-    # on TPU the auto async device fill is active and fills the word
-    # caches from the chip).  Warm = steady-state serving.
-    tok.encode_batch_ragged(texts)
-    wp_auto = _drain_auto(tok)
-    detail["auto_device_fill"] = wp_auto is not None
-    tok.encode_batch_ragged(texts)
-    # best-of-40: the measurement host is a shared 2-core VM with heavy
-    # run-to-run noise; one pass is ~5 ms so the extra reps are free
-    best = _time_best(lambda: tok.encode_batch_ragged(texts), n=40)
-    bytes_per_s = total_bytes / best
-    detail["ragged_best_s"] = round(best, 4)
-
-    # post-fill parity: after the auto fills have landed, re-gate
-    # exactness on the multilingual corpus served through the caches
-    detail["multilingual_postfill_exact"] = _exact_rate(
-        tok, multi, tok.encode_batch(multi)
-    )
-
-    _snapshot(detail, bytes_per_s)
+    calib.append(("mid", _calib_sort_s()))
+    _window("mid", 12)
 
     # cold run: a FRESH `from_file` tokenizer serving its first batch —
     # load (json parse + native build + warm-cache bulk load, reported
@@ -562,11 +790,26 @@ def main():
     # corpus words pre-merged at save time, tokenizer.export_warm_cache)
     # — corpus knowledge the trainer already paid for, shipped with the
     # model instead of re-merged per process as the reference does
-    # (mod.rs:601-605).  The no-warm-start variant (every distinct word
-    # re-merged on first sight, the reference's model) is reported
-    # alongside for transparency; both exclude load, so the delta is
-    # pure cache coverage.
+    # (mod.rs:601-605).  Instrumented (VERDICT r4 item 4): a scan-only
+    # fresh load counts the first batch's distinct misses so artifact
+    # coverage is measured, not assumed.
     from complexity_tokenizer_tpu.tokenizer import Tokenizer as _Tok
+
+    blob = TOKENIZER_JSON.with_suffix(".warmcache.npz")
+    detail["cold_artifact_present"] = blob.exists()
+    tok_scan = _Tok.from_file(TOKENIZER_JSON)
+    ne_scan = tok_scan._get_native_encoder()
+    if ne_scan is not None:
+        detail["cold_warm_words"] = getattr(
+            tok_scan, "_warm_start_words", 0
+        )
+        detail["cold_warm_from_blob"] = getattr(
+            tok_scan, "_warm_start_from_blob", None
+        )
+        sdata = tok_scan._prepare_bytes(tok_scan._normalize_batch(texts))
+        _, s_lens = ne_scan.collect_miss_words(sdata, 128)
+        detail["cold_first_batch_misses"] = int(len(s_lens))
+    del tok_scan
 
     os.environ["CTOK_WARM_START"] = "0"
     try:
@@ -610,29 +853,8 @@ def main():
             for i in range(len(cold_sample))
         ],
     )
-    wp_c = tok_cold._auto_word_path()
-    if wp_c is not None:
-        wp_c.drain_async(timeout=min(30.0, _budget_left()))
     del tok_cold
-    _drain_auto(tok)
-    if wp_auto is not None:
-        # evidence the auto path used the chip: after the drain the corpus
-        # should have no uncached distinct words left.  The async path
-        # legitimately leaves sub-min_async_fill tails to the host tier
-        # (they sit in per-thread caches, invisible to the shared-cache
-        # miss scan), so when a tail remains, run one budgeted sync fill
-        # — same chip path — and recheck.
-        complete = bool(_auto_filled(tok, texts))
-        if not complete and _budget_left() > 30:
-            data = tok._prepare_bytes(tok._normalize_batch(texts))
-            _budgeted(
-                lambda: wp_auto.fill_caches(data), _stage_budget(90)
-            )
-            complete = bool(_auto_filled(tok, texts))
-            detail["auto_fill_completed_after_sync"] = complete
-        detail["auto_fill_complete"] = complete
-
-    _snapshot(detail, bytes_per_s)
+    _snapshot(detail)
 
     # BASELINE config 1: 1K short ASCII texts — the reference README's
     # direct comparison row ("Encode 1K texts ~5 ms", README.md:66-72)
@@ -713,11 +935,13 @@ def main():
         1 for i, j in zip(rt[::997], rt_sample) if i == j
     ) / max(len(rt_sample), 1)
 
-    _snapshot(detail, bytes_per_s)
+    _snapshot(detail)
 
     # trainer throughput (BASELINE config 5's single-host leg), fresh each
     # run: full INL loop (count -> init -> pair histogram -> merges) on the
-    # bench corpus
+    # bench corpus.  A calibration sample lands right before it so a slow
+    # training number is attributable (VERDICT r4 item 3).
+    calib.append(("pre_train", _calib_sort_s()))
     try:
         import contextlib
         import io
@@ -750,55 +974,110 @@ def main():
         detail["train_32k_merges_per_s"] = round(n_merges / dt32, 1)
     except Exception as e:  # pragma: no cover
         detail["train_error"] = str(e)[:200]
+    calib.append(("post_train", _calib_sort_s()))
 
-    _snapshot(detail, bytes_per_s)
+    _snapshot(detail)
 
-    # headline second chance: when the remote compile service is slow, an
-    # in-flight background fill's client thread busy-polls a core through
-    # the first headline window, halving a 2-core host's throughput.  By
-    # now every device stage has finished or been abandoned, so a clean
-    # re-measure reflects true steady-state serving; take the best.
-    _drain_auto(tok)
+    # join the device worker: poll until its done-marker lands or the
+    # wall budget runs out.  No kill EVER — killing a client mid-dispatch
+    # wedges the remote TPU service for everyone after (operational
+    # memory, round 4); the worker self-terminates at its own budget.
+    waited = False
+    while worker.poll() is None and _budget_left() > 2:
+        if _read_dev_json().get("device_worker_done"):
+            break
+        waited = True
+        time.sleep(1.0)
+    dev = _read_dev_json()
+    # second chance: the remote service recovers on ~10-minute scales —
+    # if the first worker's probe failed and wall remains, try once more
+    # with whatever budget is left (the first worker has EXITED, so the
+    # one-client rule holds)
+    if (
+        worker.poll() is not None
+        and str(dev.get("device_error", "")).startswith("chip probe")
+        and _budget_left() > 120
+    ):
+        detail["device_first_attempt_error"] = dev["device_error"]
+        worker = _spawn_worker(_budget_left() - 30)
+        while worker.poll() is None and _budget_left() > 2:
+            if _read_dev_json().get("device_worker_done"):
+                break
+            time.sleep(1.0)
+        dev = _read_dev_json()
+        dev["device_keys_from_retry"] = True
+    detail.update(dev)
+    if worker.poll() is None and not dev.get("device_worker_done"):
+        detail["device_worker_still_running"] = True
+    if not dev:
+        detail["device_error"] = "device worker produced no results"
+    if dev.get("device_error") or not dev.get("device_worker_started"):
+        try:
+            tail = _DEV_LOG.read_bytes()[-600:].decode(errors="replace")
+            detail["device_worker_log_tail"] = tail
+        except OSError:
+            pass
+    detail.pop("device_worker_started", None)
+    _ = waited
+
+    # bulk-load the worker's chip-computed word dump into a FRESH
+    # tokenizer (new native context: artifact + chip dump, nothing else
+    # — the main tokenizer's caches long since host-merged everything,
+    # so a scan there would prove nothing) and re-gate parity through
+    # the chip-filled caches.  device_fill_complete = the chip covered
+    # every distinct corpus word the artifact didn't.
+    if _DEV_FILL.exists():
+        tok_dev = _Tok.from_file(TOKENIZER_JSON)
+        _insert_fill_npz(tok_dev, detail)
+        ne = tok_dev._get_native_encoder()
+        if ne is not None:
+            data = tok_dev._prepare_bytes(tok_dev._normalize_batch(texts))
+            _, miss_lens = ne.collect_miss_words(data, 128)
+            detail["device_fill_misses_left"] = int(len(miss_lens))
+            detail["device_fill_complete"] = len(miss_lens) == 0
+        detail["postfill_exact_match_rate"] = _exact_rate(
+            tok, texts[::61], tok_dev.encode_batch(texts[::61])
+        )
+        detail["multilingual_postfill_exact"] = _exact_rate(
+            tok, multi, tok_dev.encode_batch(multi)
+        )
+        # steady-state serving over CHIP-computed caches (vs the
+        # headline's host-merged caches — same assembly, different fill
+        # provenance; these should match within noise)
+        tok_dev.encode_batch_ragged(texts)
+        detail["device_filled_bytes_per_s"] = round(
+            total_bytes
+            / _time_best(lambda: tok_dev.encode_batch_ragged(texts), n=8),
+            1,
+        )
+        del tok_dev
+
+    # final headline window: by now the worker has normally exited, so
+    # this is the cleanest CPU window of the run; the headline is the
+    # best window overall and all windows ship in the detail
     tok.encode_batch_ragged(texts)
-    best2 = _time_best(lambda: tok.encode_batch_ragged(texts), n=25)
-    if best2 < best:
-        detail["ragged_best_s"] = round(best2, 4)
-        detail["headline_from_remeasure"] = True
-        bytes_per_s = total_bytes / best2
+    _window("final", 30)
+    calib.append(("final", _calib_sort_s()))
 
-    # late second chance for the chip (the remote service recovers on
-    # ~10-minute scales): if the early probe failed, the skipped device
-    # stages left most of the 420s budget unspent — retry now, after
-    # the CPU stages bought the service time to come back
-    if chip_down and _budget_left() > 90:
-        _, probe_err2 = _budgeted(_chip_probe, _stage_budget(90))
-        if probe_err2 is None:
-            dev_detail2: dict = {}
-            _, err2 = _budgeted(
-                lambda: _device_detail(tok, texts, dev_detail2),
-                _budget_left(),
-            )
-            for _ in range(3):
-                try:
-                    detail.update(dict(dev_detail2))
-                    break
-                except RuntimeError:  # pragma: no cover
-                    continue
-            if err2 is None:
-                detail.pop("device_error", None)
-            else:
-                detail["device_error_late"] = str(err2)[:200]
-            for k in (
-                "device_first_fill_s",
-                "device_words_filled",
-                "device_merge_words_per_s",
-                "device_novel_bytes_per_s",
-            ):
-                if k not in detail and k + "_64rows" in detail:
-                    detail[k] = detail[k + "_64rows"]
-            detail["device_keys_from_late_retry"] = True
-        else:
-            detail["device_probe_retry_error"] = str(probe_err2)[:200]
+    best_w = min(windows, key=lambda w: w["s"])
+    bytes_per_s = total_bytes / best_w["s"]
+    detail["ragged_best_s"] = best_w["s"]
+    detail["headline_window"] = best_w["tag"]
+    detail["headline_windows"] = windows
+
+    steal1, tot1 = _read_proc_stat()
+    calib_best = min(v for _, v in calib)
+    detail["noise"] = {
+        "calib_sort_ms": {k: round(v * 1e3, 2) for k, v in calib},
+        "noise_index": round(calib_best / CALIB_SORT_REF_S, 2),
+        "noise_index_worst": round(
+            max(v for _, v in calib) / CALIB_SORT_REF_S, 2
+        ),
+        "steal_pct": round(
+            100.0 * (steal1 - steal0) / max(tot1 - tot0, 1), 2
+        ),
+    }
+
     _snapshot(detail, bytes_per_s)
 
     # loud conformance gate: a divergence anywhere zeroes the headline
@@ -807,6 +1086,7 @@ def main():
         detail.get("multilingual_exact_match_rate"),
         detail.get("multilingual_ragged_exact"),
         detail.get("multilingual_postfill_exact"),
+        detail.get("postfill_exact_match_rate"),
         detail.get("decode_exact_match_rate"),
         detail.get("offsets_exact_match_rate"),
         detail.get("cold_exact_match_rate"),
@@ -830,28 +1110,18 @@ def main():
     # write STRAIGHT to fd 1, bypassing sys.stdout: a budget-abandoned
     # thread parked inside a contextlib.redirect_stdout (the trainer
     # stage suppresses progress prints) leaves the GLOBAL sys.stdout
-    # pointing at its StringIO until that thread dies — three runs this
-    # round "lost" their final line into that buffer while exiting 0
+    # pointing at its StringIO until that thread dies — three round-4
+    # runs "lost" their final line into that buffer while exiting 0
     os.write(1, (line + "\n").encode())
     try:
         _SENTINEL.write_text(os.environ.get("CTOK_BENCH_TOKEN", "done"))
     except Exception:
         pass
     # hard exit: an abandoned budgeted thread may still sit inside a slow
-    # remote compile; neither CPython finalization nor the fill-join
-    # atexit hook should wait on (or trip over) it after the line printed
+    # operation; neither CPython finalization nor atexit hooks should
+    # wait on (or trip over) it after the line printed.  The device
+    # worker, if still alive, self-terminates at its own budget.
     os._exit(0)
-
-
-def _auto_filled(tok, texts) -> int:
-    """Distinct words the auto path has landed in the shared caches:
-    corpus misses remaining after the drain (0 remaining = all filled)."""
-    wp = tok._auto_word_path()
-    if wp is None:
-        return 0
-    data = tok._prepare_bytes(tok._normalize_batch(texts))
-    _, lens = wp.native.collect_miss_words(data, 128)
-    return int(len(lens) == 0)
 
 
 def _supervised() -> None:
@@ -861,15 +1131,13 @@ def _supervised() -> None:
     abort the whole process from C++ — no Python traceback, no line).
     The child streams progressive snapshots; on an abnormal death the
     parent prints a line from the last snapshot, flagged ``aborted``."""
-    import subprocess
-
     try:
         _SENTINEL.unlink(missing_ok=True)
         _SNAPSHOT.unlink(missing_ok=True)
     except OSError:
         pass
     token = f"bench-{os.getpid()}-{time.time_ns()}"
-    env = dict(os.environ, CTOK_BENCH_CHILD="1", CTOK_BENCH_TOKEN=token)
+    env = dict(os.environ, CTOK_BENCH_ROLE="child", CTOK_BENCH_TOKEN=token)
     rc = subprocess.call([sys.executable, os.path.abspath(__file__)], env=env)
     try:
         if _SENTINEL.read_text() == token:
@@ -900,7 +1168,10 @@ def _supervised() -> None:
 
 
 if __name__ == "__main__":
-    if os.environ.get("CTOK_BENCH_CHILD") == "1":
+    role = os.environ.get("CTOK_BENCH_ROLE", "")
+    if role == "device":
+        device_worker()
+    elif role == "child" or os.environ.get("CTOK_BENCH_CHILD") == "1":
         main()
     else:
         _supervised()

@@ -615,7 +615,9 @@ class Tokenizer:
                     counters.add_time(
                         "warm_start", self._warm_start_s
                     )
-                    return int(len(z["lens"]))
+                    self._warm_start_words = int(len(z["lens"]))
+                    self._warm_start_from_blob = True
+                    return self._warm_start_words
             except Exception:
                 pass  # stale/corrupt blob: recompute below
         inv = unicode_to_bytes()
@@ -654,6 +656,8 @@ class Tokenizer:
 
         counters.add("warm_start_words", len(lens))
         counters.add_time("warm_start", self._warm_start_s)
+        self._warm_start_words = len(lens)
+        self._warm_start_from_blob = False
         return len(lens)
 
     def export_warm_cache(self, extra_words=None, path=None) -> int:
