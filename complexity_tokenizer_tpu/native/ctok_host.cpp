@@ -833,8 +833,15 @@ inline int64_t encode_word_short_keyed(const Ctx* c, ShortCache* sc,
     int64_t wlen = end - start;
     bool frontable = wlen <= 8;  // => k1 == 0; key is (k0, len)
     if (frontable && sc->front.lookup1(k0, (uint32_t)wlen, out)) return 1;
-    if (frontable && c->shared_front.lookup1(k0, (uint32_t)wlen, out))
+    if (frontable && c->shared_front.lookup1(k0, (uint32_t)wlen, out)) {
+        // promote into the per-thread front: warm-started words live in
+        // the SHARED front (bulk load), and without this promotion every
+        // later encounter re-pays the two-probe path — measured as the
+        // round-4 steady-state regression once the warm-cache artifact
+        // landed (per-thread fronts stayed empty for the Zipf head)
+        sc->front.insert1(k0, (uint32_t)wlen, out[0]);
         return 1;
+    }
     for (int which = 0; which < 2; ++which) {
         const ShortCache* s = which == 0 ? &c->shared_short : sc;
         if (s->slots.empty()) continue;

@@ -41,6 +41,7 @@ __all__ = [
     "make_merge_step",
     "make_initial_hist",
     "make_k_merge_steps",
+    "make_inl_window_steps",
 ]
 
 
@@ -241,6 +242,100 @@ def make_k_merge_steps(vocab_bound: int, k: int):
     return fn
 
 
+def make_inl_window_steps(vocab_bound: int, k: int, T: int):
+    """jittable: one INL rebuild WINDOW (up to ``k`` merges) entirely
+    device-resident (VERDICT r4 item 6).
+
+    INL selection scores drift with every merge, so the host rebuilds
+    its ranking every ``REBUILD_INTERVAL`` merges and, within a window,
+    walks the STALE order skipping dead candidates
+    (trainers/inl_trainer.py _selection_loop; reference semantics
+    trainer.rs:406-516).  The walk is exactly reproducible on device
+    from the window's candidate list alone: the host ships the first
+    ``T`` pairs of its (score desc, key asc) order, and each step picks
+    the first candidate with position > the last selection's position
+    and CURRENT count > 0 — a masked argmax over a [T] bool vector,
+    since argmax returns the first True in walk order.  Scoring itself
+    stays on the host (float64, bit-identical to the single-host
+    trainer); the device only needs the order, never the scores.
+
+    Per-step the merge application + histogram update are exactly the
+    classic block's (make_k_merge_steps); additionally the psum'd
+    per-merge delta histograms are RECORDED ([k, V, 4]) so the host can
+    replay its pair_freqs/token_freqs dicts merge-by-merge and compute
+    the next rebuild's scores without any [V, V] readback.
+
+    Returns fn(words, freqs, hist, cand_a, cand_b, n_cand, v0_base,
+    n_do) -> (words', hist', ma, mb, mf, deltas, last_pos): ma[i] == -1
+    marks unapplied steps (accepted merges are a prefix, so new_id =
+    v0_base + i is exact); ``last_pos`` is the walk cursor after the
+    block (-1 if nothing applied), letting the host detect an
+    exhausted-within-T window and continue the walk itself.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    V = vocab_bound
+    step_fn = make_merge_step(V)
+
+    def fn(words, freqs, hist, cand_a, cand_b, n_cand, v0_base, n_do):
+        tpos = jnp.arange(T, dtype=jnp.int32)
+
+        def step(i, carry):
+            words, hist, last_pos, stopped, ma, mb, mf, deltas = carry
+            cf = hist[cand_a, cand_b]  # [T] current candidate counts
+            elig = (tpos > last_pos) & (tpos < n_cand) & (cf > 0)
+            has = jnp.any(elig)
+            pos = jnp.argmax(elig).astype(jnp.int32)  # first in walk order
+            do = has & ~stopped & (i < n_do)
+            a = cand_a[pos]
+            b = cand_b[pos]
+            new_id = v0_base.astype(jnp.int32) + i.astype(jnp.int32)
+            out, delta, minted = step_fn(words, freqs, a, b, new_id)
+            delta = jax.lax.psum(delta, DATA_AXIS)
+            minted = jax.lax.psum(minted, DATA_AXIS)
+            doi = do.astype(jnp.int32)
+            hist = hist.at[a, b].set(jnp.where(do, 0, hist[a, b]))
+            hist = hist.at[:, a].add(-delta[:, 0] * doi)
+            hist = hist.at[b, :].add(-delta[:, 1] * doi)
+            hist = hist.at[:, new_id].add(delta[:, 2] * doi)
+            hist = hist.at[new_id, :].add(delta[:, 3] * doi)
+            hist = jnp.maximum(hist, 0)
+            words = jnp.where(do, out, words)
+            last_pos = jnp.where(do, pos, last_pos)
+            stopped = stopped | ~has
+            ma = ma.at[i].set(jnp.where(do, a, -1))
+            mb = mb.at[i].set(jnp.where(do, b, -1))
+            mf = mf.at[i].set(jnp.where(do, minted, 0))
+            deltas = deltas.at[i].set(delta * doi)
+            return words, hist, last_pos, stopped, ma, mb, mf, deltas
+
+        ma = jnp.full(k, -1, jnp.int32)
+        mb = jnp.full(k, -1, jnp.int32)
+        mf = jnp.zeros(k, jnp.int32)
+        deltas = jnp.zeros((k, V, 4), jnp.int32)
+        words, hist, last_pos, _stopped, ma, mb, mf, deltas = (
+            jax.lax.fori_loop(
+                0,
+                k,
+                step,
+                (
+                    words,
+                    hist,
+                    jnp.int32(-1),
+                    jnp.bool_(False),
+                    ma,
+                    mb,
+                    mf,
+                    deltas,
+                ),
+            )
+        )
+        return words, hist, ma, mb, mf, deltas, last_pos
+
+    return fn
+
+
 class DistributedInlTrainer(InlBpeTrainer):
     """INL-BPE trainer whose counting + merge application run on a mesh.
 
@@ -334,14 +429,18 @@ class DistributedInlTrainer(InlBpeTrainer):
         max_v = int(
             os.environ.get("CTOK_TRAINER_DEVICE_SELECT_MAX_V", "4096")
         )
-        if (
-            cfg.inl_gate == 0.0
-            and V <= max_v
-            and not (cfg.checkpoint_interval and cfg.checkpoint_path)
+        if V <= max_v and not (
+            cfg.checkpoint_interval and cfg.checkpoint_path
         ):
-            self._batched_selection_loop(
-                words_dev, freqs_dev, mesh, V
-            )
+            if cfg.inl_gate == 0.0:
+                self._batched_selection_loop(
+                    words_dev, freqs_dev, mesh, V
+                )
+            else:
+                # INL mode (VERDICT r4 item 6): device-resident rebuild
+                # windows — host float64 scoring at each boundary, one
+                # dispatch per REBUILD_INTERVAL merges in between
+                self._inl_window_loop(words_dev, freqs_dev, mesh, V)
             print(f"  Final vocab size: {len(self.vocab)}")
             print(f"  Total merges: {len(self.merges)}")
             return
@@ -497,6 +596,197 @@ class DistributedInlTrainer(InlBpeTrainer):
         self.pair_freqs = defaultdict(int)
         for a, b in zip(ys, xs):
             self.pair_freqs[(int(a), int(b))] = int(hist_np[a, b])
+        if target_merges:
+            print(f"\r  {iteration}/{target_merges} done", file=sys.stderr)
+            if cfg.progress_callback is not None:
+                cfg.progress_callback("merge", iteration, target_merges)
+        counters.add("merges", iteration)
+        counters.add_time("merges", _time.perf_counter() - _t_start)
+
+    # candidate-list length shipped to the device per INL window; the
+    # walk consumes one position per merge PLUS one per dead candidate
+    # skipped, so 2048 covers a 100-merge window with ~19x slack — the
+    # host continues the walk itself in the rare overflow (exactness is
+    # never at stake, only the fast path)
+    _INL_WINDOW_T = 2048
+
+    def _inl_window_loop(self, words_dev, freqs_dev, mesh, V: int):
+        """INL-mode merge loop in device-resident rebuild windows (see
+        make_inl_window_steps).  Host work per window: float64 scoring +
+        ordering (bit-identical to the single-host trainer), then a
+        merge-by-merge replay of the returned delta log so pair_freqs /
+        token_freqs / velocity stay exact for the next boundary's
+        scores, checkpoints, and save."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..trainers.inl_trainer import REBUILD_INTERVAL
+        from ..utils.metrics import counters
+
+        shard_map = jax.shard_map
+        cfg = self.config
+        target = cfg.vocab_size
+        target_merges = max(target - len(self.vocab), 0)
+        _t_start = _time.perf_counter()
+        k = REBUILD_INTERVAL
+        T = self._INL_WINDOW_T
+
+        hist_np = np.zeros((V, V), np.int32)
+        for (a, b), f in self.pair_freqs.items():
+            if 0 <= a < V and 0 <= b < V and f > 0:
+                hist_np[a, b] = f
+        hist_dev = jax.device_put(hist_np, NamedSharding(mesh, P()))
+
+        kfn = jax.jit(
+            shard_map(
+                make_inl_window_steps(V, k, T),
+                mesh=mesh,
+                in_specs=(
+                    P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(), P(),
+                    P(),
+                ),
+                out_specs=(
+                    P(DATA_AXIS), P(), P(), P(), P(), P(), P(),
+                ),
+            )
+        )
+        # per-merge step for the rare beyond-T window continuation
+        per_merge_fn = None
+
+        def _mint_from_log(a: int, b: int, minted: int, delta: np.ndarray):
+            merged = self.vocab_r[a] + self.vocab_r[b]
+            new_id = len(self.vocab)
+            self.vocab[merged] = new_id
+            self.vocab_r[new_id] = merged
+            self.merges.append((self.vocab_r[a], self.vocab_r[b]))
+            self.velocity[new_id] = (
+                self.velocity.get(a, 0.0) + self.velocity.get(b, 0.0)
+            ) / 2.0
+            # replays pair_freqs AND token_freqs exactly (the device
+            # histogram's clamp-at-zero mirrors the dict's non-positive
+            # deletion — parity documented at make_k_merge_steps)
+            self._apply_delta_hist(delta, minted, a, b, new_id)
+            return new_id
+
+        iteration = 0
+        self._select_block_times: list[float] = []
+        self._select_block_merges: list[int] = []
+        while len(self.vocab) < target:
+            pairs, order = self._ordered_pairs()  # host f64 scoring
+            if not len(order):
+                break
+            pairs_np = np.asarray(pairs, np.int32).reshape(-1, 2)
+            n_cand = min(T, len(order))
+            sel = order[:n_cand]
+            ca = np.zeros(T, np.int32)
+            cb = np.zeros(T, np.int32)
+            ca[:n_cand] = pairs_np[sel, 0]
+            cb[:n_cand] = pairs_np[sel, 1]
+            n_do = min(k, target - len(self.vocab))
+            v0b = len(self.vocab)
+            _tb = _time.perf_counter()
+            words_dev, hist_dev, ma, mb, mf, deltas, last_pos = kfn(
+                words_dev,
+                freqs_dev,
+                hist_dev,
+                jnp.asarray(ca),
+                jnp.asarray(cb),
+                jnp.int32(n_cand),
+                jnp.int32(v0b),
+                jnp.int32(n_do),
+            )
+            ma = np.asarray(ma)
+            mb = np.asarray(mb)
+            mf = np.asarray(mf)
+            deltas = np.asarray(deltas)
+            self._select_block_times.append(_time.perf_counter() - _tb)
+            applied = 0
+            for i in range(n_do):
+                if ma[i] < 0:
+                    break
+                _mint_from_log(
+                    int(ma[i]), int(mb[i]), int(mf[i]), deltas[i]
+                )
+                applied += 1
+            self._select_block_merges.append(applied)
+            iteration += applied
+            if applied < n_do:
+                # the device walk ran out of eligible candidates within
+                # its T-entry list.  The host walk would only end the
+                # window if the FULL order has no live candidate left —
+                # check with the replayed counts and, if one exists
+                # beyond T, continue the window host-side per merge
+                # (exact same walk, same per-merge device step)
+                pos = int(last_pos)
+                while applied < n_do and len(self.vocab) < target:
+                    nxt = None
+                    while pos + 1 < len(order):
+                        pos += 1
+                        cand = tuple(pairs_np[order[pos]])
+                        cand = (int(cand[0]), int(cand[1]))
+                        if self.pair_freqs.get(cand, 0) > 0:
+                            nxt = cand
+                            break
+                    if nxt is None:
+                        break  # window (and maybe training) exhausted
+                    if per_merge_fn is None:
+                        step_fn = make_merge_step(V)
+
+                        def sharded_step(w, f, a, b, new_id):
+                            out, delta, minted = step_fn(
+                                w, f, a, b, new_id
+                            )
+                            return (
+                                out,
+                                jax.lax.psum(delta, DATA_AXIS),
+                                jax.lax.psum(minted, DATA_AXIS),
+                            )
+
+                        per_merge_fn = jax.jit(
+                            shard_map(
+                                sharded_step,
+                                mesh=mesh,
+                                in_specs=(
+                                    P(DATA_AXIS), P(DATA_AXIS), P(), P(),
+                                    P(),
+                                ),
+                                out_specs=(P(DATA_AXIS), P(), P()),
+                            )
+                        )
+                    a, b = nxt
+                    new_id = len(self.vocab)
+                    words_dev, delta, minted = per_merge_fn(
+                        words_dev,
+                        freqs_dev,
+                        jnp.int32(a),
+                        jnp.int32(b),
+                        jnp.int32(new_id),
+                    )
+                    _mint_from_log(a, b, int(minted), np.asarray(delta))
+                    # keep the device histogram in sync for later windows
+                    hist_np2 = np.zeros((V, V), np.int32)
+                    for (pa, pb), f in self.pair_freqs.items():
+                        if 0 <= pa < V and 0 <= pb < V and f > 0:
+                            hist_np2[pa, pb] = f
+                    hist_dev = jax.device_put(
+                        hist_np2, NamedSharding(mesh, P())
+                    )
+                    applied += 1
+                    iteration += 1
+                if applied == 0:
+                    break  # nothing live anywhere: training is done
+            if target_merges and iteration and iteration % 1000 < k:
+                print(
+                    f"\r  {iteration}/{target_merges}"
+                    f" ({iteration / target_merges * 100:.1f}%)",
+                    end="",
+                    file=sys.stderr,
+                )
+                if cfg.progress_callback is not None:
+                    cfg.progress_callback("merge", iteration, target_merges)
         if target_merges:
             print(f"\r  {iteration}/{target_merges} done", file=sys.stderr)
             if cfg.progress_callback is not None:

@@ -64,6 +64,36 @@ def test_distributed_trainer_with_inl_dynamics():
     dist = DistributedInlTrainer(TrainerConfig(**cfg))
     dist.train_from_texts(list(texts))
     assert dist.merges == host.merges
+    # the INL path must have taken the device-resident window loop
+    # (VERDICT r4 item 6), not the per-merge host round trips
+    assert getattr(dist, "_select_block_times", None), (
+        "INL mode did not take the window-block path"
+    )
+
+
+def test_distributed_trainer_inl_window_overflow(monkeypatch):
+    """Forcing a tiny candidate list (T=4) makes every window exhaust
+    its device candidates mid-window, driving the host-side walk
+    continuation — the rare path must stay bit-exact with the host
+    trainer (parallel/trainer.py _inl_window_loop)."""
+    from complexity_tokenizer_tpu.parallel.trainer import DistributedInlTrainer
+    from complexity_tokenizer_tpu.trainers.inl_trainer import (
+        InlBpeTrainer,
+        TrainerConfig,
+    )
+
+    texts = ["aaa bbb aaa bbb ccc ddd " * 3, SAMPLE_TEXT]
+    cfg = dict(
+        vocab_size=330, min_frequency=1, inl_alpha=0.9, inl_beta=0.3,
+        inl_gate=0.5,
+    )
+    host = InlBpeTrainer(TrainerConfig(**cfg))
+    host.train_from_texts(list(texts))
+    monkeypatch.setattr(DistributedInlTrainer, "_INL_WINDOW_T", 4)
+    dist = DistributedInlTrainer(TrainerConfig(**cfg))
+    dist.train_from_texts(list(texts))
+    assert dist.merges == host.merges
+    assert dist.vocab == host.vocab
 
 
 def test_initial_hist_psum():
