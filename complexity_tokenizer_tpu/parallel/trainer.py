@@ -235,8 +235,11 @@ def make_k_merge_steps(vocab_bound: int, k: int):
         ma = jnp.full(k, -1, jnp.int32)
         mb = jnp.full(k, -1, jnp.int32)
         mf = jnp.zeros(k, jnp.int32)
+        # dynamic bound: a tail block with n_do < k pays n_do steps, not
+        # k (each step runs the full merge pass over the word tensor)
         return jax.lax.fori_loop(
-            0, k, step, (words, hist, ma, mb, mf)
+            0, jnp.minimum(jnp.int32(k), n_do.astype(jnp.int32)),
+            step, (words, hist, ma, mb, mf),
         )
 
     return fn
@@ -314,10 +317,11 @@ def make_inl_window_steps(vocab_bound: int, k: int, T: int):
         mb = jnp.full(k, -1, jnp.int32)
         mf = jnp.zeros(k, jnp.int32)
         deltas = jnp.zeros((k, V, 4), jnp.int32)
+        # dynamic bound: tail windows pay n_do steps, not k
         words, hist, last_pos, _stopped, ma, mb, mf, deltas = (
             jax.lax.fori_loop(
                 0,
-                k,
+                jnp.minimum(jnp.int32(k), n_do.astype(jnp.int32)),
                 step,
                 (
                     words,
