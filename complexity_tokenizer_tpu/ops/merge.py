@@ -50,6 +50,7 @@ __all__ = [
     "merge_word_rows",
     "merge_word_rows_qc",
     "seed_tokens",
+    "phased_merge_words",
 ]
 
 
@@ -240,6 +241,101 @@ def _segmented_fixpoint(tokens, wid, lookup):
     tokens, _ = jax.lax.while_loop(cond, body, (tokens, always_true))
     count = jnp.sum((tokens >= 0).astype(jnp.int32), axis=axis)
     return tokens, count
+
+
+def _segmented_fixpoint_bounded(tokens, wid, lookup, max_iters: int):
+    """First ``max_iters`` iterations of :func:`_segmented_fixpoint`
+    (the word may be unfinished — callers continue on a compacted
+    layout).  Same body, iteration-capped cond."""
+    axis = tokens.ndim - 1
+    seg_start = wid != _shift_right(wid, jnp.int32(-2))
+    seg_end = _shift_left(seg_start, True)
+
+    def _segmin(r):
+        def comb(x, y):
+            vx, fx = x
+            vy, fy = y
+            return jnp.where(fy, vy, jnp.minimum(vx, vy)), fx | fy
+
+        fwd, _ = jax.lax.associative_scan(comb, (r, seg_start), axis=axis)
+        bwd, _ = jax.lax.associative_scan(
+            comb, (r, seg_end), axis=axis, reverse=True
+        )
+        return jnp.minimum(fwd, bwd)
+
+    def body(state):
+        t, _, it = state
+        alive = t >= 0
+        tn_incl, wn_incl = _carry_first2(t, wid, alive, axis)
+        t_next = _shift_left(tn_incl, jnp.int32(-1))
+        w_next = _shift_left(wn_incl, jnp.int32(-3))
+        pair_valid = alive & (t_next >= 0) & (w_next == wid) & (wid >= 0)
+        r, minted = lookup(t, t_next, pair_valid)
+        segmin = _segmin(r)
+        is_best = (r == segmin) & (segmin < INF_RANK) & pair_valid
+        prev_best = _shift_right(_carry_last(is_best, alive, axis), False)
+        selected = is_best & ~prev_best
+        t2 = jnp.where(selected, minted, t)
+        killed = alive & _shift_right(
+            _carry_last(selected, alive, axis), False
+        )
+        t2 = jnp.where(killed, -1, t2)
+        return t2, jnp.any(selected), it + 1
+
+    always_true = jnp.any(tokens > jnp.int32(-2))
+    tokens, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters),
+        body,
+        (tokens, always_true, jnp.int32(0)),
+    )
+    return tokens
+
+
+def phased_merge_words(tokens, wid, lookup, n1: int):
+    """Merge fixpoint with mid-fixpoint LANE COMPACTION (VERDICT r4
+    item 5): run ``n1`` iterations at full size, compact each row's
+    surviving lanes left, slice each row to W/2, and RESHAPE pairs of
+    half-rows into full-width rows — the fixpoint finishes on a
+    [B/2, W] matrix.  The per-iteration cost of this kernel is the
+    pair-table gather over every lane (PROFILE round 4: ~1.2 ms per
+    [1024,128] probe pair, insensitive to bytes), so the remaining
+    iterations run at half cost.  The lane dim stays W=128 on purpose:
+    sub-128 last dims hit a pathological compile path on this backend
+    (see ops/wordpath._WORD_W), and the half-row boundary inside a
+    fused row is safe — its two sides hold different word ids, and
+    pair validity requires equal wid.
+
+    The compaction keeps every word's FIRST lane even when dead (an
+    all-OOV word must still occupy a slot so the k-th start flag maps
+    to input word k), and a row whose kept lanes exceed W/2 raises
+    the spill flag — the caller redispatches that pack through the
+    uncompacted full-capacity body, exactly like a cap spill.
+
+    Returns (t_final [B/2, W], wid2 [B/2, W], spill bool).  wid2 is -1
+    on non-kept lanes; start flags for the compacted layout are the
+    wid2 transitions among wid2 >= 0 lanes and are static across the
+    finishing fixpoint (a killed lane keeps its wid).  Flat order of
+    the compacted layout preserves the input word order.
+    """
+    B, W = tokens.shape
+    w2 = W // 2
+    t = _segmented_fixpoint_bounded(tokens, wid, lookup, n1)
+    alive = t >= 0
+    # word-start lanes (static; from the ORIGINAL wid layout)
+    is_start = (wid >= 0) & (wid != _shift_right(wid, jnp.int32(-2)))
+    keep = alive | is_start
+    rowcum = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    row_kept = rowcum[:, -1]
+    spill = jnp.any(row_kept > w2)
+    key = jnp.where(keep, rowcum - 1, jnp.int32(W))
+    wid_k = jnp.where(keep, wid, jnp.int32(-1))
+    _k, ts, ws = jax.lax.sort(
+        (key, t, wid_k), dimension=1, num_keys=1
+    )
+    ts = ts[:, :w2].reshape(B // 2, W)
+    ws = ws[:, :w2].reshape(B // 2, W)
+    t_final, _counts = _segmented_fixpoint(ts, ws, lookup)
+    return t_final, ws, spill
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "n_buckets"))

@@ -104,6 +104,22 @@ class EncodePipeline:
             tokens, wid, self.disp, self.rows, self.table_size, self.n_buckets
         )
 
+    def pair_lookup(self):
+        """``(a, b, valid) -> (rank, minted)`` closure over this
+        pipeline's pair table (cuckoo when eligible, CHD fallback) —
+        for bodies that compose the fixpoint pieces themselves (the
+        phased/compacting fill, ops/merge.phased_merge_words)."""
+        from .hashtable import chd_lookup_rows_jnp, qc_lookup_jnp
+
+        if self.qc_t1 is not None:
+            t1, t2, size = self.qc_t1, self.qc_t2, self.qc_size
+            return lambda a, b, v: qc_lookup_jnp(t1, t2, size, a, b, v)
+        disp, rows = self.disp, self.rows
+        ts, nb = self.table_size, self.n_buckets
+        return lambda a, b, v: chd_lookup_rows_jnp(
+            disp, rows, ts, nb, a, b, v
+        )
+
     @functools.cached_property
     def _class_table(self):
         from .presplit import class_table_jnp

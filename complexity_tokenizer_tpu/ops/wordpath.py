@@ -211,28 +211,70 @@ class DeviceWordEncoder:
     # redispatched once through the lazily-compiled full-capacity variant
     _CAP_NUM, _CAP_DEN = 3, 8
 
+    @property
+    def _phase_n1(self) -> int:
+        """Fixpoint iterations before the mid-fixpoint lane compaction
+        (0 disables phasing — the DEFAULT, by measurement).  ~45% of
+        lanes are tombstones by iteration 6, which round 4 estimated as
+        a ≤1.5x lever; the round-5 on-chip A/B killed it: at the
+        production [1024,128] pack the 49K-word steady fill measures
+        141.3 ms unphased vs 143.9/141.6/143.6 ms at n1=6/8/10 (and
+        372.6 ms at n1=4, where half-rows overflow and every pack pays
+        the spill redispatch).  The per-iteration gather wall is per-OP
+        overhead on this backend, insensitive to lane count just as r4
+        measured it insensitive to gathered bytes — so halving lanes
+        buys nothing and the extra mid-sort risks spills.  The phased
+        body stays available (CTOK_PHASE_N1=N) as a measured variant
+        for future backends where gathers are throughput-bound."""
+        v = getattr(self, "_phase_n1_cached", None)
+        if v is None:
+            import os
+
+            v = int(os.environ.get("CTOK_PHASE_N1", "0"))
+            self._phase_n1_cached = v
+        return v
+
     @functools.cached_property
     def _fn(self):
-        return self._merge_fn(self._CAP_NUM, self._CAP_DEN)
+        return self._merge_fn(
+            self._CAP_NUM, self._CAP_DEN, self._phase_n1
+        )
 
     @functools.cached_property
     def _fn_full(self):
-        # cap = all lanes: cannot spill (live ids <= lanes); only
-        # compiled if a compact-cap pack ever overflows
-        return self._merge_fn(1, 1)
+        # cap = all lanes, UNPHASED: cannot spill (live ids <= lanes);
+        # only compiled if a compact-cap pack ever overflows
+        return self._merge_fn(1, 1, 0)
 
     @functools.cached_property
     def _fn_sharded(self):
-        return self._merge_fn_sharded(self._CAP_NUM, self._CAP_DEN)
+        return self._merge_fn_sharded(
+            self._CAP_NUM, self._CAP_DEN, self._phase_n1
+        )
 
     @functools.cached_property
     def _fn_full_sharded(self):
-        return self._merge_fn_sharded(1, 1)
+        return self._merge_fn_sharded(1, 1, 0)
 
-    def _local_fill_body(self, cap_num: int, cap_den: int):
+    def _local_fill_body(self, cap_num: int, cap_den: int,
+                         phase_n1: int = 0):
         """The per-block fill body: (bytes [B,W] uint8, start_bits
-        [B,W//8], row_len [B] int32) -> fused uint8 buffer
-        [cap·itemsize ids ++ B·W/8 alive bits ++ 4-byte total].
+        [B,W//8], row_len [B] int32) -> fused uint8 buffer.
+
+        Unphased (``phase_n1 == 0``) layout:
+          [cap·itemsize ids ++ B·W/8 alive bits ++ 4-byte total]
+        Phased (the default fast path, VERDICT r4 item 5): the fixpoint
+        runs ``phase_n1`` iterations at [B, W], compacts surviving
+        lanes into a [B/2, W] matrix (ops/merge.phased_merge_words) and
+        finishes there — the pair-table gathers, the per-iteration
+        cost, run over half the lanes.  Layout:
+          [cap·itemsize ids ++ B·W/16 alive bits ++ B·W/16 word-start
+           bits ++ 4-byte total]
+        (same total size; the start bits replace the host's
+        byte-derived word boundaries, which compaction invalidates).
+        A pack whose kept lanes overflow a half-row reports the spill
+        sentinel in ``total`` and is redispatched through the unphased
+        full-capacity body.
 
         Row-local by construction — a word never spans rows, word ids
         are a running count of starts (only equality between adjacent
@@ -260,42 +302,65 @@ class DeviceWordEncoder:
             wid = jnp.where(valid, wid, -1)
             tokens = byte_token_table[bytes_bw.astype(jnp.int32)]
             tokens = jnp.where(valid, tokens, -1)
-            # two-choice cuckoo table when eligible, CHD fallback otherwise
-            merged, _counts = p.merge_fixpoint(tokens, wid)
+            phased = phase_n1 > 0 and B % 2 == 0
+            if phased:
+                from .merge import _shift_right, phased_merge_words
+
+                merged, wid2, spill = phased_merge_words(
+                    tokens, wid, p.pair_lookup(), phase_n1
+                )
+                wstart = (wid2 >= 0) & (
+                    wid2 != _shift_right(wid2, jnp.int32(-2))
+                )
+            else:
+                # two-choice cuckoo when eligible, CHD fallback
+                merged, _counts = p.merge_fixpoint(tokens, wid)
             alive = merged >= 0
             aflat = alive.reshape(-1)
             cum = jnp.cumsum(aflat.astype(jnp.int32))
             total = cum[-1]
             cap = B * W * cap_num // cap_den
+            if phased:
+                # a pack that could not compact reports past-the-
+                # sentinel so the host redispatches it full-capacity
+                total = jnp.where(spill, jnp.int32(B * W + 1), total)
             # compaction by sort, the TPU idiom: live lanes get their
             # output position as the key (strictly increasing -> order
             # preserved), dead lanes a shared past-the-end sentinel; a
             # static slice then keeps the first cap.  lax.sort is
             # heavily optimized on TPU, unlike 1-D dynamic scatter.
-            keys = jnp.where(aflat, cum - 1, jnp.int32(B * W))
+            n_lanes = aflat.shape[0]
+            keys = jnp.where(aflat, cum - 1, jnp.int32(n_lanes))
             vals = merged.reshape(-1)
             if narrow:
                 vals = vals.astype(jnp.uint16)
             _skeys, svals = jax.lax.sort_key_val(keys, vals)
             out = svals[:cap]
             alive_bits = jnp.packbits(alive, axis=1, bitorder="little")
-            # ONE fused uint8 result (ids ++ alive bitmap ++ total): the
-            # remote-dispatch tunnel charges a fixed latency per
-            # transfer, so three small D2H rounds cost ~3 dispatch
-            # floors — fusing them back to one is a 2-3x at small fills
+            # ONE fused uint8 result (ids ++ alive bitmap [++ start
+            # bitmap] ++ total): the remote-dispatch tunnel charges a
+            # fixed latency per transfer, so separate small D2H rounds
+            # cost multiple dispatch floors — fusing them is a 2-3x at
+            # small fills
             ids_u8 = jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(
                 -1
             )
             tot_u8 = jax.lax.bitcast_convert_type(
                 total.reshape(1).astype(jnp.int32), jnp.uint8
             ).reshape(-1)
-            return jnp.concatenate(
-                [ids_u8, alive_bits.reshape(-1), tot_u8]
-            )
+            parts = [ids_u8, alive_bits.reshape(-1)]
+            if phased:
+                parts.append(
+                    jnp.packbits(
+                        wstart, axis=1, bitorder="little"
+                    ).reshape(-1)
+                )
+            parts.append(tot_u8)
+            return jnp.concatenate(parts)
 
         return body
 
-    def _merge_fn(self, cap_num: int, cap_den: int):
+    def _merge_fn(self, cap_num: int, cap_den: int, phase_n1: int = 0):
         """jit of the fill body (single-device: the whole pack is one
         block).  See ``_local_fill_body`` for the contract and the
         on-device compaction story (VERDICT r2 item 2)."""
@@ -304,9 +369,10 @@ class DeviceWordEncoder:
         from ..utils.jax_setup import setup_compilation_cache
 
         setup_compilation_cache()
-        return jax.jit(self._local_fill_body(cap_num, cap_den))
+        return jax.jit(self._local_fill_body(cap_num, cap_den, phase_n1))
 
-    def _merge_fn_sharded(self, cap_num: int, cap_den: int):
+    def _merge_fn_sharded(self, cap_num: int, cap_den: int,
+                          phase_n1: int = 0):
         """shard_map twin of ``_merge_fn``: row blocks shard over the
         mesh's ``data`` axis and every device compacts ITS rows locally
         — zero collectives (the global-cumsum/global-sort form would
@@ -326,7 +392,7 @@ class DeviceWordEncoder:
 
         setup_compilation_cache()
         mesh = self.sharding.mesh
-        body = self._local_fill_body(cap_num, cap_den)
+        body = self._local_fill_body(cap_num, cap_den, phase_n1)
         spec = P(*self.sharding.spec)
 
         def local(bytes_bw, start_bits, row_len):
@@ -426,6 +492,61 @@ class DeviceWordEncoder:
         alive = np.unpackbits(raw[ids_bytes:-4], bitorder="little")
         total = int(raw[-4:].view(np.int32)[0])
         return out_ids, alive, total
+
+    def _unpack_fused_phased(self, fused, B: int, cap: int):
+        """Phased-layout twin of :meth:`_unpack_fused`: the compacted
+        matrix has B*W/2 lanes with alive AND word-start bitmaps.
+        Returns (ids, alive bits, word-start bits, total)."""
+        raw = np.asarray(fused)
+        ids_bytes = cap * np.dtype(self._out_dtype).itemsize
+        nb = B * _WORD_W // 16
+        out_ids = raw[:ids_bytes].view(self._out_dtype)
+        alive = np.unpackbits(
+            raw[ids_bytes : ids_bytes + nb], bitorder="little"
+        )
+        wstart = np.unpackbits(raw[ids_bytes + nb : -4], bitorder="little")
+        total = int(raw[-4:].view(np.int32)[0])
+        return out_ids, alive, wstart, total
+
+    def _unpack_fused_sharded_phased(self, fused, B: int, cap_num: int,
+                                     cap_den: int):
+        """Sharded phased unpack: per-device blocks carry the phased
+        layout; concatenating in device order reproduces the global
+        compacted flat order (devices hold contiguous row slices).
+        Returns (ids, alive bits, word-start bits, spilled)."""
+        raw = np.asarray(fused)
+        ndev = int(self.sharding.mesh.devices.size)
+        B_loc = B // ndev
+        isz = np.dtype(self._out_dtype).itemsize
+        cap_loc = B_loc * _WORD_W * cap_num // cap_den
+        nb = B_loc * _WORD_W // 16
+        chunk = cap_loc * isz + 2 * nb + 4
+        ids_parts, alive_parts, ws_parts = [], [], []
+        spilled = False
+        for d in range(ndev):
+            blk = raw[d * chunk : (d + 1) * chunk]
+            ids = blk[: cap_loc * isz].view(self._out_dtype)
+            alive_parts.append(
+                np.unpackbits(
+                    blk[cap_loc * isz : cap_loc * isz + nb],
+                    bitorder="little",
+                )
+            )
+            ws_parts.append(
+                np.unpackbits(blk[cap_loc * isz + nb : -4],
+                              bitorder="little")
+            )
+            total = int(blk[-4:].view(np.int32)[0])
+            if total > cap_loc:  # cap spill OR phase-spill sentinel
+                spilled = True
+                total = cap_loc
+            ids_parts.append(ids[:total])
+        return (
+            np.concatenate(ids_parts),
+            np.concatenate(alive_parts),
+            np.concatenate(ws_parts),
+            spilled,
+        )
 
     def _unpack_fused_sharded(self, fused, B: int, cap_num: int,
                               cap_den: int):
@@ -539,37 +660,78 @@ class DeviceWordEncoder:
         ids_parts: list[np.ndarray] = []
         counts_sorted = np.full(n, -1, np.int64)  # -1 = not covered
         for fused, starts, w0, n_fit, B, sharded in pending:
-            if sharded:
-                out_ids, alive, spilled = self._unpack_fused_sharded(
-                    fused, B, self._CAP_NUM, self._CAP_DEN
-                )
-            else:
-                cap = B * _WORD_W * self._CAP_NUM // self._CAP_DEN
-                out_ids, alive, total = self._unpack_fused(fused, cap)
-                spilled = total > cap
-                if not spilled:
-                    out_ids = out_ids[:total]
-            cs = np.zeros(len(alive) + 1, np.int64)
-            np.cumsum(alive, out=cs[1:])
-            ln = work_lens[w0 : w0 + n_fit].astype(np.int64)
-            w_end = cs[starts + ln]
-            cnts = w_end - cs[starts]
-            if spilled:
-                # compaction spill (poorly-compressible pack):
-                # redispatch this pack once through the full-capacity
-                # variant — coverage stays complete, the compact path
-                # stays the fast common case
+            ndev = (
+                int(self.sharding.mesh.devices.size) if sharded else 1
+            )
+            phased = self._phase_n1 > 0 and (B // ndev) % 2 == 0
+            cnts = None
+            if phased:
+                # compacted layout: word boundaries come from the
+                # device's start bitmap (byte-derived starts no longer
+                # correspond to lane positions)
                 if sharded:
-                    out_ids, _alive2, _sp2 = self._unpack_fused_sharded(
+                    out_ids, alive, wstart, spilled = (
+                        self._unpack_fused_sharded_phased(
+                            fused, B, self._CAP_NUM, self._CAP_DEN
+                        )
+                    )
+                else:
+                    cap = B * _WORD_W * self._CAP_NUM // self._CAP_DEN
+                    out_ids, alive, wstart, total = (
+                        self._unpack_fused_phased(fused, B, cap)
+                    )
+                    spilled = total > cap
+                    if not spilled:
+                        out_ids = out_ids[:total]
+                if not spilled:
+                    sf = np.flatnonzero(wstart)
+                    if len(sf) != n_fit:  # pragma: no cover — defensive
+                        spilled = True
+                    else:
+                        cs = np.zeros(len(alive) + 1, np.int64)
+                        np.cumsum(alive, out=cs[1:])
+                        bounds = np.append(sf, len(alive))
+                        cnts = cs[bounds[1:]] - cs[bounds[:-1]]
+            else:
+                if sharded:
+                    out_ids, alive, spilled = self._unpack_fused_sharded(
+                        fused, B, self._CAP_NUM, self._CAP_DEN
+                    )
+                else:
+                    cap = B * _WORD_W * self._CAP_NUM // self._CAP_DEN
+                    out_ids, alive, total = self._unpack_fused(fused, cap)
+                    spilled = total > cap
+                    if not spilled:
+                        out_ids = out_ids[:total]
+                cs = np.zeros(len(alive) + 1, np.int64)
+                np.cumsum(alive, out=cs[1:])
+                ln = work_lens[w0 : w0 + n_fit].astype(np.int64)
+                w_end = cs[starts + ln]
+                cnts = w_end - cs[starts]
+            if spilled:
+                # compaction/cap spill (poorly-compressible pack):
+                # redispatch this pack once through the full-capacity
+                # UNPHASED variant — coverage stays complete, the
+                # compact path stays the fast common case.  Counts come
+                # from the redispatch when the phased bitmap was
+                # unusable (cnts is None or phased).
+                if sharded:
+                    out_ids, alive_f, _sp2 = self._unpack_fused_sharded(
                         self._fn_full_sharded(*spill_args[(w0, n_fit)]),
                         B, 1, 1,
                     )
                 else:
-                    out_ids, _alive2, total = self._unpack_fused(
+                    out_ids, alive_f, total = self._unpack_fused(
                         self._fn_full(*spill_args[(w0, n_fit)]),
                         B * _WORD_W,
                     )
                     out_ids = out_ids[:total]
+                if cnts is None:
+                    cs = np.zeros(len(alive_f) + 1, np.int64)
+                    np.cumsum(alive_f, out=cs[1:])
+                    ln = work_lens[w0 : w0 + n_fit].astype(np.int64)
+                    w_end = cs[starts + ln]
+                    cnts = w_end - cs[starts]
             counts_sorted[w0 : w0 + n_fit] = cnts
             ids_parts.append(out_ids)
         ids_sorted = (

@@ -603,3 +603,74 @@ def test_merge_words_qc_matches_chd(tok, pipeline):
     )
     assert (np.asarray(out_chd) == np.asarray(out_qc)).all()
     assert (np.asarray(cnt_chd) == np.asarray(cnt_qc)).all()
+
+
+def test_phased_fill_matches_unphased(monkeypatch):
+    """Mid-fixpoint lane compaction (ops/merge.phased_merge_words) is
+    bit-exact vs the unphased body, including words that vanish to OOV
+    and 1-byte words.  Phasing is opt-in (the round-5 on-chip A/B
+    measured it neutral — see wordpath._phase_n1), so the test enables
+    it explicitly."""
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    monkeypatch.setenv("CTOK_PHASE_N1", "6")
+    wp = tok._get_word_path()
+    assert wp._phase_n1 > 0
+    rng = np.random.RandomState(11)
+    words = [b"a", b"zz"]
+    for _ in range(700):
+        n = rng.randint(1, 24)
+        words.append(
+            bytes(rng.choice(list(b"abcdefghiqxZW"), n).astype(np.uint8))
+        )
+    buf = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.array([len(w) for w in words], np.int32)
+    ids_p, cnt_p = wp._encode_words_packed(buf, lens)
+
+    tok2 = trained_tokenizer()
+    monkeypatch.setenv("CTOK_PHASE_N1", "0")
+    wp2 = tok2._get_word_path()
+    assert wp2._phase_n1 == 0
+    assert wp2 is not wp
+    ids_u, cnt_u = wp2._encode_words_packed(buf, lens)
+    assert cnt_p.tolist() == cnt_u.tolist()
+    assert ids_p.tolist() == ids_u.tolist()
+    # and both match the native oracle
+    bounds = np.zeros(len(cnt_p) + 1, np.int64)
+    np.cumsum(np.where(cnt_p < 0, 0, cnt_p), out=bounds[1:])
+    for w in range(0, len(words), 37):
+        if cnt_p[w] < 0:
+            continue
+        assert (
+            ids_p[bounds[w] : bounds[w + 1]].tolist()
+            == wp.native.encode(words[w])
+        )
+
+
+def test_phased_fill_spill_redispatch(monkeypatch):
+    """A pack of 1-byte words cannot halve (every lane stays alive):
+    the phase-spill sentinel must drive the full-capacity redispatch
+    and results stay exact."""
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    if tok._get_native_encoder() is None:
+        pytest.skip("native runtime unavailable")
+    monkeypatch.setenv("CTOK_PHASE_N1", "6")
+    wp = tok._get_word_path()
+    assert wp._phase_n1 > 0
+    # >64 single-byte words per 128-lane row -> kept lanes exceed W/2
+    words = [bytes([c]) for c in b"abcdefgh" * 40]
+    buf = np.frombuffer(b"".join(words), np.uint8)
+    lens = np.ones(len(words), np.int32)
+    ids, counts = wp._encode_words_packed(buf, lens)
+    assert counts.tolist() == [1] * len(words)
+    bounds = np.arange(len(words) + 1)
+    for w in range(0, len(words), 17):
+        assert (
+            ids[bounds[w] : bounds[w + 1]].tolist()
+            == wp.native.encode(words[w])
+        )
