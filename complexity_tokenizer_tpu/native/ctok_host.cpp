@@ -11,6 +11,7 @@
 // Exposed via a C ABI for ctypes; semantics are diff-tested against the
 // Python oracle in tests/test_native.py.
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #ifndef _WIN32
@@ -1942,39 +1943,61 @@ static int encode_batch_spans(Ctx* c, const uint8_t* const* ptrs,
     if (n_threads > kMaxThreads) n_threads = kMaxThreads;
     if (n_texts < n_threads * 4) n_threads = 1;
     int64_t total = offsets[n_texts];
+    // Work-stealing over byte-balanced SHARDS (more shards than
+    // threads, pulled via an atomic counter): on a shared VM a static
+    // two-way split stalls the whole batch whenever the neighbor steals
+    // one core mid-batch — the other thread finishes and waits.  With
+    // 8 shards per thread a preempted worker strands at most 1/16 of
+    // the batch.  Output stays splice-compatible: shards are contiguous
+    // text ranges in order, each compacted at its own first byte
+    // offset (ids-per-text <= bytes-per-text bounds every shard's
+    // region), and the caller memcpys blocks 0..n_used-1 in order.
+    int n_shards = n_threads == 1
+                       ? 1
+                       : (int)std::min<int64_t>(kMaxThreads,
+                                                (int64_t)n_threads * 8);
+    std::atomic<int64_t> next_shard{0};
     auto worker = [&](int tid) {
         std::vector<int32_t> scratch;
         scratch.reserve(64);
         std::vector<uint8_t> tmp;
         WordCache* cache = &c->caches[tid];
         ShortCache* sc = &c->short_caches[tid];
-        int64_t lo_b = total * tid / n_threads;
-        int64_t hi_b = shard_hi(total, tid, n_threads);
-        int64_t base = -1;
-        int64_t pos = 0;
-        for (int64_t i = 0; i < n_texts; ++i) {
-            int64_t a = offsets[i];
-            if (a < lo_b || a >= hi_b) continue;
-            if (base < 0) base = a;
-            if (skip && skip[i]) {
-                out_counts[i] = -2;
-                continue;
+        for (;;) {
+            int64_t s = next_shard.fetch_add(1, std::memory_order_relaxed);
+            if (s >= n_shards) break;
+            int64_t lo_b = total * s / n_shards;
+            int64_t hi_b = shard_hi(total, (int)s, n_shards);
+            // first text whose start offset is >= lo_b
+            int64_t i0 = (int64_t)(std::lower_bound(offsets, offsets + n_texts,
+                                                    lo_b) -
+                                   offsets);
+            int64_t base = -1;
+            int64_t pos = 0;
+            for (int64_t i = i0; i < n_texts; ++i) {
+                int64_t a = offsets[i];
+                if (a >= hi_b) break;
+                if (base < 0) base = a;
+                if (skip && skip[i]) {
+                    out_counts[i] = -2;
+                    continue;
+                }
+                if (ps && ps->matches_pre(ptrs[i], szs[i], pre[i] != 0)) {
+                    out_counts[i] = -1;
+                    continue;
+                }
+                int64_t k = encode_text_span(c, cache, sc, ptrs[i], szs[i],
+                                             pre[i] != 0, out + base + pos,
+                                             scratch, tmp);
+                out_counts[i] = (int32_t)k;
+                pos += k;
             }
-            if (ps && ps->matches_pre(ptrs[i], szs[i], pre[i] != 0)) {
-                out_counts[i] = -1;
-                continue;
-            }
-            int64_t k = encode_text_span(c, cache, sc, ptrs[i], szs[i],
-                                         pre[i] != 0, out + base + pos,
-                                         scratch, tmp);
-            out_counts[i] = (int32_t)k;
-            pos += k;
+            thread_base[s] = base < 0 ? 0 : base;
+            thread_ids[s] = pos;
         }
-        thread_base[tid] = base < 0 ? 0 : base;
-        thread_ids[tid] = pos;
     };
     pool().run(n_threads, worker);
-    return n_threads;
+    return n_shards;
 }
 
 void ctok_match_any(const uint8_t* joined, const int64_t* offsets,

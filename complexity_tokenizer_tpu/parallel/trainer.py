@@ -689,7 +689,10 @@ class DistributedInlTrainer(InlBpeTrainer):
             cb = np.zeros(T, np.int32)
             ca[:n_cand] = pairs_np[sel, 0]
             cb[:n_cand] = pairs_np[sel, 1]
-            n_do = min(k, target - len(self.vocab))
+            # every in-window selection consumes >= 1 candidate, so the
+            # candidate count also bounds the window — near-exhausted
+            # corpora stop paying k device steps for a handful of merges
+            n_do = min(k, target - len(self.vocab), n_cand)
             v0b = len(self.vocab)
             _tb = _time.perf_counter()
             words_dev, hist_dev, ma, mb, mf, deltas, last_pos = kfn(
