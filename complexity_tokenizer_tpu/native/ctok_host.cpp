@@ -334,31 +334,130 @@ constexpr int64_t kMaxShortWord = 16;
 // accelerator view of the main caches: a miss falls through to them, so
 // exactness never depends on hit rate.
 struct FrontCache {
+    // cnt == 1: ids holds one full int32 id.  cnt == 2: two u16 ids
+    // packed (id0 | id1 << 16) — 2-token tail words under a <64K vocab
+    // are ~10% of short-word traffic in steady state (measured round
+    // 5) and previously missed the front EVERY pass (only single-token
+    // words were representable), re-paying the shared-table walk.
     struct alignas(16) Slot {
-        uint64_t k0;   // key bytes, zero-padded
-        int32_t id;
-        uint32_t len;  // 0 = empty; disambiguates NUL-padded keys
+        uint64_t k0;     // key bytes, zero-padded
+        uint32_t ids;
+        uint16_t len;    // 0 = empty; disambiguates NUL-padded keys
+        uint16_t cnt;    // 1 or 2
     };
-    static constexpr uint64_t kBits = 15;  // 32K slots = 512 KB
+    // 2-WAY set-associative: hash selects an aligned 32-byte PAIR of
+    // slots, probed sequentially, inserted first-empty.  The round-5
+    // miss attribution showed ~26K/pass of the steady-state misses
+    // were direct-map collision LOSERS (24K distinct short words over
+    // 32K slots, first-come-wins forever); two ways cut the loser set
+    // to 3-deep collisions only.  Probe cost on the common slot-0 hit
+    // is unchanged; the way-1 check runs only after a way-0 miss and
+    // stays within the same cache-line pair.
+    static constexpr uint64_t kBits = 15;  // 32K pairs = 64K slots = 1 MB
     std::vector<Slot> slots;
     static inline uint64_t hash(uint64_t k0) {
         return (k0 * 0x9E3779B97F4A7C15ull) >> (64 - kBits);
     }
-    inline bool lookup1(uint64_t k0, uint32_t len, int32_t* out) const {
-        if (slots.empty()) return false;
-        const Slot& s = slots[hash(k0)];
-        if (s.k0 != k0 || s.len != len) return false;
-        out[0] = s.id;
-        return true;
+    static inline int read_slot(const Slot& s, int32_t* out) {
+        if (s.cnt == 1) {
+            out[0] = (int32_t)s.ids;
+            return 1;
+        }
+        out[0] = (int32_t)(s.ids & 0xFFFF);
+        out[1] = (int32_t)(s.ids >> 16);
+        return 2;
+    }
+    // returns token count (1 or 2) on hit, 0 on miss
+    inline int lookup1(uint64_t k0, uint32_t len, int32_t* out) const {
+        if (slots.empty()) return 0;
+        const Slot* p = &slots[2 * hash(k0)];
+        if (p[0].k0 == k0 && p[0].len == (uint16_t)len)
+            return read_slot(p[0], out);
+        if (p[1].k0 == k0 && p[1].len == (uint16_t)len)
+            return read_slot(p[1], out);
+        return 0;
+    }
+    inline Slot* insert_slot(uint64_t k0) {
+        if (slots.empty()) slots.resize((size_t)2 << kBits);
+        Slot* p = &slots[2 * hash(k0)];
+        if (!p[0].len) return p;
+        if (!p[1].len) return p + 1;
+        return nullptr;
     }
     inline void insert1(uint64_t k0, uint32_t len, int32_t id) {
-        if (slots.empty()) slots.resize((size_t)1 << kBits);
-        Slot& s = slots[hash(k0)];
-        if (!s.len) {
-            s.k0 = k0;
-            s.id = id;
-            s.len = len;
+        Slot* s = insert_slot(k0);
+        if (s) {
+            s->k0 = k0;
+            s->ids = (uint32_t)id;
+            s->cnt = 1;
+            s->len = (uint16_t)len;  // len last: publishes the entry
         }
+    }
+    // 2-token insert; only representable when both ids fit u16
+    inline void insert2(uint64_t k0, uint32_t len, int32_t id0,
+                        int32_t id1) {
+        if ((uint32_t)id0 >= 0x10000u || (uint32_t)id1 >= 0x10000u)
+            return;
+        Slot* s = insert_slot(k0);
+        if (s) {
+            s->k0 = k0;
+            s->ids = (uint32_t)id0 | ((uint32_t)id1 << 16);
+            s->cnt = 2;
+            s->len = (uint16_t)len;
+        }
+    }
+};
+
+// 2-way front cache for 9-16-byte words (full (k0, k1) key): same
+// collision-loser fix as FrontCache, one size up.  ~9% of steady-state
+// word traffic is 9-16 bytes (measured round 5) and previously always
+// paid the multi-MB shared-table walk; most such words are <= 2 tokens
+// under a real vocab, so the packed-u16 id form covers them.
+struct Front16 {
+    struct alignas(32) Slot {
+        uint64_t k0;
+        uint64_t k1;
+        uint32_t ids;
+        uint16_t len;  // 0 = empty
+        uint16_t cnt;  // 1 or 2
+        uint64_t _pad;
+    };
+    static constexpr uint64_t kBits = 14;  // 16K pairs = 32K slots = 1 MB
+    std::vector<Slot> slots;
+    static inline uint64_t hash(uint64_t hv) { return hv >> (64 - kBits); }
+    inline int lookup(uint64_t k0, uint64_t k1, uint64_t hv, uint32_t len,
+                      int32_t* out) const {
+        if (slots.empty()) return 0;
+        const Slot* p = &slots[2 * hash(hv)];
+        const Slot& s = (p[0].k0 == k0 && p[0].k1 == k1 &&
+                         p[0].len == (uint16_t)len)
+                            ? p[0]
+                            : p[1];
+        if (s.k0 != k0 || s.k1 != k1 || s.len != (uint16_t)len) return 0;
+        if (s.cnt == 1) {
+            out[0] = (int32_t)s.ids;
+            return 1;
+        }
+        out[0] = (int32_t)(s.ids & 0xFFFF);
+        out[1] = (int32_t)(s.ids >> 16);
+        return 2;
+    }
+    inline void insert(uint64_t k0, uint64_t k1, uint64_t hv, uint32_t len,
+                       const int32_t* ids, int64_t n) {
+        if (n < 1 || n > 2) return;
+        if (n == 2 &&
+            ((uint32_t)ids[0] >= 0x10000u || (uint32_t)ids[1] >= 0x10000u))
+            return;
+        if (slots.empty()) slots.resize((size_t)2 << kBits);
+        Slot* p = &slots[2 * hash(hv)];
+        Slot* s = !p[0].len ? p : (!p[1].len ? p + 1 : nullptr);
+        if (!s) return;
+        s->k0 = k0;
+        s->k1 = k1;
+        s->ids = n == 1 ? (uint32_t)ids[0]
+                        : ((uint32_t)ids[0] | ((uint32_t)ids[1] << 16));
+        s->cnt = (uint16_t)n;
+        s->len = (uint16_t)len;  // publishes
     }
 };
 
@@ -381,6 +480,7 @@ struct ShortCache {
     // per-thread accelerator for <=8-byte single-token words (the owning
     // thread is the only prober/inserter, so no synchronization)
     FrontCache front;
+    Front16 front16;  // 9-16-byte words, <= 2 tokens
 
     static inline uint64_t mix(uint64_t k0, uint64_t k1, uint64_t len) {
         uint64_t h = k0 ^ (k1 * 0xFF51AFD7ED558CCDull) ^
@@ -473,6 +573,7 @@ struct Ctx {
     // only under work_mu (encodes) — same discipline as the tables it
     // accelerates; misses fall through, so exactness never depends on it.
     FrontCache shared_front;
+    Front16 shared_front16;
     // Scratch reused by the Python-extension batch entry points (ids at
     // byte offsets, per-text counts/offsets).  call_mu serializes those
     // calls; it is only ever locked with the GIL released, so lock order
@@ -764,8 +865,10 @@ inline int64_t encode_word(const Ctx* c, WordCache* cache, ShortCache* sc,
             load_key16(data + start, wlen, &k0, &k1);
         else
             load_key16_safe(data + start, wlen, &k0, &k1);
-        if (wlen <= 8 && c->shared_front.lookup1(k0, (uint32_t)wlen, out))
-            return 1;
+        if (wlen <= 8) {
+            int fc = c->shared_front.lookup1(k0, (uint32_t)wlen, out);
+            if (fc) return fc;
+        }
         uint64_t hv = ShortCache::mix(k0, k1, (uint64_t)wlen);
         for (int which = 0; which < 2; ++which) {
             const ShortCache* s = which == 0 ? &c->shared_short : sc;
@@ -833,15 +936,31 @@ inline int64_t encode_word_short_keyed(const Ctx* c, ShortCache* sc,
                                        std::vector<int32_t>& scratch) {
     int64_t wlen = end - start;
     bool frontable = wlen <= 8;  // => k1 == 0; key is (k0, len)
-    if (frontable && sc->front.lookup1(k0, (uint32_t)wlen, out)) return 1;
-    if (frontable && c->shared_front.lookup1(k0, (uint32_t)wlen, out)) {
-        // promote into the per-thread front: warm-started words live in
-        // the SHARED front (bulk load), and without this promotion every
-        // later encounter re-pays the two-probe path — measured as the
-        // round-4 steady-state regression once the warm-cache artifact
-        // landed (per-thread fronts stayed empty for the Zipf head)
-        sc->front.insert1(k0, (uint32_t)wlen, out[0]);
-        return 1;
+    if (frontable) {
+        int fc = sc->front.lookup1(k0, (uint32_t)wlen, out);
+        if (fc) return fc;
+        fc = c->shared_front.lookup1(k0, (uint32_t)wlen, out);
+        if (fc) {
+            // promote into the per-thread front: warm-started words
+            // live in the SHARED front (bulk load), and without this
+            // promotion every later encounter re-pays the two-probe
+            // path — measured as the round-4 steady-state regression
+            // once the warm-cache artifact landed
+            if (fc == 1)
+                sc->front.insert1(k0, (uint32_t)wlen, out[0]);
+            else
+                sc->front.insert2(k0, (uint32_t)wlen, out[0], out[1]);
+            return fc;
+        }
+    } else {
+        // 9-16-byte words: the 2-way (k0, k1)-keyed front
+        int fc = sc->front16.lookup(k0, k1, hv, (uint32_t)wlen, out);
+        if (fc) return fc;
+        fc = c->shared_front16.lookup(k0, k1, hv, (uint32_t)wlen, out);
+        if (fc) {
+            sc->front16.insert(k0, k1, hv, (uint32_t)wlen, out, fc);
+            return fc;
+        }
     }
     for (int which = 0; which < 2; ++which) {
         const ShortCache* s = which == 0 ? &c->shared_short : sc;
@@ -862,6 +981,11 @@ inline int64_t encode_word_short_keyed(const Ctx* c, ShortCache* sc,
                     copy_ids_wide(out, src, cnt);
                 else
                     std::memcpy(out, src, (size_t)cnt * sizeof(int32_t));
+                if (frontable && cnt == 2)
+                    sc->front.insert2(k0, (uint32_t)wlen, src[0], src[1]);
+                else if (!frontable && cnt <= 2)
+                    sc->front16.insert(k0, k1, hv, (uint32_t)wlen, src,
+                                       (int64_t)cnt);
                 return cnt;
             }
             hh = (hh + 1) & s->mask;
@@ -878,6 +1002,11 @@ inline int64_t encode_word_short_keyed(const Ctx* c, ShortCache* sc,
                (int64_t)scratch.size());
     if (frontable && scratch.size() == 1)
         sc->front.insert1(k0, (uint32_t)wlen, scratch[0]);
+    else if (frontable && scratch.size() == 2)
+        sc->front.insert2(k0, (uint32_t)wlen, scratch[0], scratch[1]);
+    else if (!frontable && scratch.size() <= 2 && !scratch.empty())
+        sc->front16.insert(k0, k1, hv, (uint32_t)wlen, scratch.data(),
+                           (int64_t)scratch.size());
     return (int64_t)scratch.size();
 }
 
@@ -1122,13 +1251,23 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
                         load_key16_safe(data + start, wlen, &k0, &k1_unused);
                     }
                     if (!front.slots.empty()) {
+                        const FrontCache::Slot* fp =
+                            &front.slots[2 * FrontCache::hash(k0)];
                         const FrontCache::Slot& fs =
-                            front.slots[FrontCache::hash(k0)];
-                        if (fs.k0 == k0 && fs.len == (uint32_t)wlen) {
+                            (fp[0].k0 == k0 &&
+                             fp[0].len == (uint16_t)wlen)
+                                ? fp[0]
+                                : fp[1];
+                        if (fs.k0 == k0 && fs.len == (uint16_t)wlen) {
 #ifdef CTOK_COUNTERS
                             ++g_front_hit;
 #endif
-                            out[n_out++] = fs.id;
+                            if (fs.cnt == 1) {
+                                out[n_out++] = (int32_t)fs.ids;
+                            } else {
+                                out[n_out++] = (int32_t)(fs.ids & 0xFFFF);
+                                out[n_out++] = (int32_t)(fs.ids >> 16);
+                            }
                             return;
                         }
                     }
@@ -1507,6 +1646,16 @@ inline int decode_shards(const DecCtx* d, const int32_t* ids_flat,
 
 extern "C" {
 
+#ifdef CTOK_COUNTERS
+// debug-build accessor for the hot-loop counters (the globals live in
+// the anonymous namespace); out = [front_hit, front_miss, keyed]
+void ctok_debug_counters(int64_t* out) {
+    out[0] = g_front_hit;
+    out[1] = g_front_miss;
+    out[2] = g_keyed;
+}
+#endif
+
 void* ctok_new(int64_t n_pairs, const int32_t* pa, const int32_t* pb,
                const int32_t* pr, const int32_t* rank_new, int64_t n_ranks,
                const int32_t* byte_token, const uint8_t* cls_table,
@@ -1781,6 +1930,13 @@ void ctok_cache_insert_batch(void* p, const uint8_t* words_buf,
                 c->shared_short.insert(k0, k1, (uint8_t)wlen, ids, n_ids);
             if (wlen <= 8 && n_ids == 1)
                 c->shared_front.insert1(k0, (uint32_t)wlen, ids[0]);
+            else if (wlen <= 8 && n_ids == 2)
+                c->shared_front.insert2(k0, (uint32_t)wlen, ids[0],
+                                        ids[1]);
+            else if (wlen > 8 && n_ids <= 2)
+                c->shared_front16.insert(
+                    k0, k1, ShortCache::mix(k0, k1, (uint64_t)wlen),
+                    (uint32_t)wlen, ids, n_ids);
         } else {
             uint64_t h = fnv1a(wp, wlen);
             if (c->shared_long.find(h, wp, wlen) < 0)
@@ -1853,6 +2009,13 @@ int64_t ctok_warm_start(void* p, const uint8_t* words_buf,
                     c->shared_short.insert(k0, k1, (uint8_t)wlen, ids, n_ids);
                 if (wlen <= 8 && n_ids == 1)
                     c->shared_front.insert1(k0, (uint32_t)wlen, ids[0]);
+                else if (wlen <= 8 && n_ids == 2)
+                    c->shared_front.insert2(k0, (uint32_t)wlen, ids[0],
+                                            ids[1]);
+                else if (wlen > 8 && n_ids <= 2)
+                    c->shared_front16.insert(
+                        k0, k1, ShortCache::mix(k0, k1, (uint64_t)wlen),
+                        (uint32_t)wlen, ids, n_ids);
             } else {
                 uint64_t h = fnv1a(wp, wlen);
                 if (c->shared_long.find(h, wp, wlen) < 0)

@@ -689,10 +689,15 @@ class DistributedInlTrainer(InlBpeTrainer):
             cb = np.zeros(T, np.int32)
             ca[:n_cand] = pairs_np[sel, 0]
             cb[:n_cand] = pairs_np[sel, 1]
-            # every in-window selection consumes >= 1 candidate, so the
-            # candidate count also bounds the window — near-exhausted
-            # corpora stop paying k device steps for a handful of merges
-            n_do = min(k, target - len(self.vocab), n_cand)
+            # window size (rebuild cadence) is k or the remaining vocab
+            # target; the DEVICE loop is additionally bounded by the
+            # candidate count (each device selection consumes >= 1
+            # candidate) — a near-exhausted corpus stops paying k steps
+            # for a handful of merges.  The bounds are distinct: when
+            # the device runs out of candidates mid-window, the host
+            # walk below continues the SAME window past them.
+            window = min(k, target - len(self.vocab))
+            n_do = min(window, n_cand)
             v0b = len(self.vocab)
             _tb = _time.perf_counter()
             words_dev, hist_dev, ma, mb, mf, deltas, last_pos = kfn(
@@ -720,7 +725,7 @@ class DistributedInlTrainer(InlBpeTrainer):
                 applied += 1
             self._select_block_merges.append(applied)
             iteration += applied
-            if applied < n_do:
+            if applied < window:
                 # the device walk ran out of eligible candidates within
                 # its T-entry list.  The host walk would only end the
                 # window if the FULL order has no live candidate left —
@@ -728,7 +733,7 @@ class DistributedInlTrainer(InlBpeTrainer):
                 # beyond T, continue the window host-side per merge
                 # (exact same walk, same per-merge device step)
                 pos = int(last_pos)
-                while applied < n_do and len(self.vocab) < target:
+                while applied < window and len(self.vocab) < target:
                     nxt = None
                     while pos + 1 < len(order):
                         pos += 1
