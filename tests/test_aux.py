@@ -299,3 +299,51 @@ def test_trainer_progress_callback_not_checkpointed(tmp_path):
     resumed = InlBpeTrainer.load_checkpoint(path)
     assert resumed.config.progress_callback is None
     assert resumed.vocab == tr.vocab
+
+
+def test_bench_fill_npz_roundtrip(tmp_path, monkeypatch):
+    """The bench's worker->main chip-fill handoff (bench._insert_fill_npz):
+    a worker-format npz dump bulk-loads into a fresh tokenizer's caches
+    (covered rows only) and the served ids equal the dump's."""
+    import numpy as np
+
+    import bench
+    from helpers import trained_tokenizer
+
+    tok = trained_tokenizer()
+    native = tok._get_native_encoder()
+    if native is None:
+        pytest.skip("native runtime unavailable")
+    words = [b" hello", b" world", b" the", b"zzqqy"]
+    ids_rows = [native.encode(w) for w in words]
+    # mark one word uncovered (counts = -1): it must NOT be inserted
+    counts = np.array(
+        [len(ids_rows[0]), len(ids_rows[1]), -1, len(ids_rows[3])],
+        np.int64,
+    )
+    ids_flat = np.array(
+        ids_rows[0] + ids_rows[1] + ids_rows[3], np.int32
+    )
+    lens = np.array([len(w) for w in words], np.int64)
+    dump = tmp_path / "fill.npz"
+    np.savez(
+        dump,
+        words_buf=np.frombuffer(b"".join(words), np.uint8),
+        lens=lens,
+        ids_flat=ids_flat,
+        counts=counts,
+        m_words_buf=np.zeros(0, np.uint8),
+        m_lens=np.zeros(0, np.int64),
+        m_ids_flat=np.zeros(0, np.int32),
+        m_counts=np.zeros(0, np.int64),
+    )
+    monkeypatch.setattr(bench, "_DEV_FILL", dump)
+    tok2 = trained_tokenizer()
+    detail = {}
+    n = bench._insert_fill_npz(tok2, detail)
+    assert n == 3  # the uncovered row was skipped
+    assert detail["device_fill_loaded_words"] == 3
+    # covered words serve from the loaded caches, exactly
+    got = tok2.encode_batch(["hello world", "zzqqy"])
+    want = [tok2._encode_host("hello world"), tok2._encode_host("zzqqy")]
+    assert got == want
