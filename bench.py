@@ -538,6 +538,26 @@ def _device_trainer_detail(texts, detail):
             sum(bt[1:]) * 1e3 / sum(bm[1:]), 3
         )
         detail["device_train_block_dispatches"] = len(bt)
+    # INL mode (nonzero gate): the round-5 device-resident rebuild
+    # windows — same corpus, host f64 scoring at boundaries, one
+    # dispatch per window (parallel/trainer.py make_inl_window_steps)
+    tri = DistributedInlTrainer(
+        TrainerConfig(vocab_size=506, min_frequency=1)
+    )
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(io.StringIO()):
+        tri.train_from_texts(corpus)
+    detail["device_train_inl_total_s"] = round(
+        time.perf_counter() - t0, 3
+    )
+    detail["device_train_inl_merges"] = len(tri.merges)
+    ibt = getattr(tri, "_select_block_times", None)
+    ibm = getattr(tri, "_select_block_merges", None)
+    if ibt and ibm and len(ibt) > 1 and sum(ibm[1:]) > 0:
+        detail["device_train_inl_steady_ms_per_merge"] = round(
+            sum(ibt[1:]) * 1e3 / sum(ibm[1:]), 3
+        )
+        detail["device_train_inl_window_dispatches"] = len(ibt)
 
 
 def device_worker() -> None:
