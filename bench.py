@@ -1011,11 +1011,9 @@ def main():
     # wall budget runs out.  No kill EVER — killing a client mid-dispatch
     # wedges the remote TPU service for everyone after (operational
     # memory, round 4); the worker self-terminates at its own budget.
-    waited = False
     while worker.poll() is None and _budget_left() > 2:
         if _read_dev_json().get("device_worker_done"):
             break
-        waited = True
         time.sleep(1.0)
     dev = _read_dev_json()
     # second chance: the remote service recovers on ~10-minute scales —
@@ -1047,7 +1045,6 @@ def main():
         except OSError:
             pass
     detail.pop("device_worker_started", None)
-    _ = waited
 
     # bulk-load the worker's chip-computed word dump into a FRESH
     # tokenizer (new native context: artifact + chip dump, nothing else
