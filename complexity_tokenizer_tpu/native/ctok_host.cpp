@@ -1297,6 +1297,10 @@ inline int64_t encode_text(const Ctx* c, WordCache* cache, ShortCache* sc,
                 }
             };
             if (nb >= 0) {
+                // (A software-pipelined slot-pair prefetch over bnd[]
+                // was measured here in round 5 and REVERTED: the Zipf
+                // head's slots are already cache-resident, so the +4
+                // instructions per word cost ~8% with no latency won.)
                 for (int64_t j = 0; j < nb; ++j) do_word(bnd[j], bnd[j + 1]);
             } else {
                 while (i < n) {
