@@ -560,6 +560,27 @@ def _device_trainer_detail(texts, detail):
         detail["device_train_inl_window_dispatches"] = len(ibt)
 
 
+def _device_pipeline_detail(tok, texts, detail):
+    """Text-level pure-device encode tier on chip (ops/pipeline.py:
+    pack -> presplit -> seed -> merge fixpoint -> unpack), parity-gated
+    against the host oracle.  This tier's production role is covered by
+    the word path (Zipf dedup), but its on-chip rate belongs in the
+    driver artifact — it is the 'whole text on TPU' design point the
+    README's architecture note quantifies."""
+    p = tok._get_pipeline()
+    if p is None:
+        detail["device_pipeline_error"] = "pipeline unavailable"
+        return
+    sample = [t[:120] for t in texts[:256]]
+    n_bytes = sum(len(t.encode()) for t in sample)
+    out = p.encode_batch(sample)  # compile + first dispatch
+    host = [tok._encode_host(t) for t in sample]
+    detail["device_pipeline_exact"] = float(out == host)
+    best = _time_best(lambda: p.encode_batch(sample), n=3)
+    detail["device_pipeline_texts_per_s"] = round(len(sample) / best, 1)
+    detail["device_pipeline_bytes_per_s"] = round(n_bytes / best, 1)
+
+
 def device_worker() -> None:
     """Worker entry: sole chip client for this bench run.  Streams its
     results to _DEV_JSON after every stage and self-terminates at its
@@ -629,6 +650,16 @@ def device_worker() -> None:
             d["device_train_error"] = str(err)[:200]
     else:
         d["device_train_error"] = "skipped: worker budget exhausted"
+    _dev_write(d)
+    pd: dict = {}
+    if _budget_left() > 20:
+        _, err = _budgeted(
+            lambda: _device_pipeline_detail(tok, texts, pd),
+            _stage_budget(90),
+        )
+        merge(pd)
+        if err is not None:
+            d["device_pipeline_error"] = str(err)[:200]
     d["device_worker_done"] = True
     d["device_worker_total_s"] = round(
         time.monotonic() - _budget_t0, 1
@@ -1121,6 +1152,8 @@ def main():
     ]
     if "device_exact_match_rate" in detail:
         gates.append(detail["device_exact_match_rate"])
+    if "device_pipeline_exact" in detail:
+        gates.append(detail["device_pipeline_exact"])
     conformance_ok = all(g == 1.0 for g in gates if g is not None)
     detail["conformance_ok"] = conformance_ok
     if not conformance_ok:
