@@ -71,10 +71,14 @@ LEXICON_SIZE = 50_000
 N_TEXTS = 10_000
 BASELINE_BYTES_PER_S = 50e6
 
-# quiet-host reference for the fixed-cost calibration workload (min of
-# repeated best-of-5 runs of the 1M-float sort on this VM class, measured
-# 2026-08-21 on an idle-ish host); noise_index = measured_best / this
+# quiet-host references for the fixed-cost calibration workloads (min of
+# repeated runs on this VM class, measured 2026-08-21 on an idle-ish
+# host); noise_index = measured_best / reference.  The sort is CPU/L2-
+# bound; the random gather is DRAM-latency-bound — neighbor noise on
+# memory bandwidth hits the encode path's cold-slot probes but NOT the
+# sort, so the two together attribute which resource is being stolen.
 CALIB_SORT_REF_S = 0.0088
+CALIB_MEM_REF_S = 0.0165
 
 
 def _zipf_lexicon(n: int = LEXICON_SIZE, seed: int = 3) -> list[str]:
@@ -228,6 +232,7 @@ def _time_best(fn, n=5):
 # ---------------------------------------------------------------------------
 
 _CALIB_ARR = None
+_CALIB_MEM = None
 
 
 def _calib_sort_s() -> float:
@@ -243,6 +248,29 @@ def _calib_sort_s() -> float:
     for _ in range(5):
         t0 = time.perf_counter()
         np.sort(_CALIB_ARR.copy()).sum()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _calib_mem_s() -> float:
+    """Fixed-cost DRAM-latency-bound workload (2M random gathers over a
+    64 MB array, best of 3): quantifies memory-side neighbor noise —
+    the resource the warm encode path's cold-slot probes actually
+    compete for (PROFILE r5 'at its memory model')."""
+    global _CALIB_MEM
+    import numpy as np
+
+    if _CALIB_MEM is None:
+        rng = np.random.RandomState(5)
+        _CALIB_MEM = (
+            rng.rand(16_000_000).astype(np.float32),
+            rng.randint(0, 16_000_000, size=2_000_000).astype(np.int64),
+        )
+    arr, idx = _CALIB_MEM
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        arr[idx].sum()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -805,7 +833,13 @@ def main():
         ragged batch path, flagged with worker liveness and its own
         calibration sample so every window self-attributes its noise."""
         target = t if t is not None else tok
-        live = worker.poll() is None
+        # "possibly competing for CPU": the done-marker is authoritative
+        # (written before the worker's os._exit); poll() alone has shown
+        # stale-None readings on this platform
+        live = (
+            worker.poll() is None
+            and not _read_dev_json().get("device_worker_done")
+        )
         s = _time_best(lambda: target.encode_batch_ragged(texts), n=n)
         windows.append(
             {
@@ -813,6 +847,7 @@ def main():
                 "s": round(s, 4),
                 "worker_live": live,
                 "calib_ms": round(_calib_sort_s() * 1e3, 2),
+                "calib_mem_ms": round(_calib_mem_s() * 1e3, 2),
             }
         )
         return s
@@ -902,6 +937,7 @@ def main():
                 getattr(tok_cold, "_warm_start_s", 0.0) * 1e3, 2
             )
     detail["cold_cache_bytes_per_s"] = round(best_cold, 1)
+    _window("postcold", 12)
     # the cold tokenizer's results must match the main one's (gated)
     cold_sample = texts[::97]
     flat_c, offs_c = tok_cold.encode_batch_ragged(cold_sample)
@@ -994,6 +1030,7 @@ def main():
     detail["decode_exact_match_rate"] = sum(
         1 for i, j in zip(rt[::997], rt_sample) if i == j
     ) / max(len(rt_sample), 1)
+    _window("late", 12)
 
     _snapshot(detail)
 
@@ -1126,12 +1163,22 @@ def main():
 
     steal1, tot1 = _read_proc_stat()
     calib_best = min(v for _, v in calib)
+    mem_vals = [
+        w["calib_mem_ms"] for w in windows if "calib_mem_ms" in w
+    ]
     detail["noise"] = {
         "calib_sort_ms": {k: round(v * 1e3, 2) for k, v in calib},
         "noise_index": round(calib_best / CALIB_SORT_REF_S, 2),
         "noise_index_worst": round(
             max(v for _, v in calib) / CALIB_SORT_REF_S, 2
         ),
+        # memory-side noise (DRAM latency): what the warm encode's
+        # cold-slot probes actually compete for; sampled per window
+        "noise_mem_index": round(
+            min(mem_vals) / 1e3 / CALIB_MEM_REF_S, 2
+        )
+        if mem_vals
+        else None,
         "steal_pct": round(
             100.0 * (steal1 - steal0) / max(tot1 - tot0, 1), 2
         ),
