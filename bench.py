@@ -833,9 +833,9 @@ def main():
         ragged batch path, flagged with worker liveness and its own
         calibration sample so every window self-attributes its noise."""
         target = t if t is not None else tok
-        # "possibly competing for CPU": the done-marker is authoritative
-        # (written before the worker's os._exit); poll() alone has shown
-        # stale-None readings on this platform
+        # "possibly competing for CPU": done-marker OR process exit,
+        # whichever signals first (the marker is written just before the
+        # worker's os._exit, so it is the earlier, authoritative signal)
         live = (
             worker.poll() is None
             and not _read_dev_json().get("device_worker_done")
