@@ -698,8 +698,13 @@ def device_worker() -> None:
     os._exit(0)
 
 
-def _spawn_worker(budget_s: float) -> "subprocess.Popen":
-    for p in (_DEV_JSON, _DEV_FILL):
+def _spawn_worker(budget_s: float, keep_fill: bool = False) -> "subprocess.Popen":
+    # keep_fill: a RETRY keeps a first attempt's fill dump — its contents
+    # are a pure function of the tokenizer, so a stale-but-complete dump
+    # beats none if the retry dies before its own fill stage (the worker
+    # overwrites it atomically when it does get there)
+    stale = (_DEV_JSON,) if keep_fill else (_DEV_JSON, _DEV_FILL)
+    for p in stale:
         try:
             p.unlink(missing_ok=True)
         except OSError:
@@ -1085,22 +1090,30 @@ def main():
         time.sleep(1.0)
     dev = _read_dev_json()
     # second chance: the remote service recovers on ~10-minute scales —
-    # if the first worker's probe failed and wall remains, try once more
-    # with whatever budget is left (the first worker has EXITED, so the
-    # one-client rule holds)
-    if (
-        worker.poll() is not None
-        and str(dev.get("device_error", "")).startswith("chip probe")
-        and _budget_left() > 120
-    ):
-        detail["device_first_attempt_error"] = dev["device_error"]
-        worker = _spawn_worker(_budget_left() - 30)
+    # if the first worker's probe failed OR the worker died without its
+    # done-marker (crash/abort), and wall remains, try once more with
+    # whatever budget is left (the first worker has EXITED, so the
+    # one-client rule holds).  First-attempt partial evidence is merged
+    # before the retry so a second failure cannot erase it.
+    rc1 = worker.poll()
+    crashed = rc1 is not None and not dev.get("device_worker_done")
+    probe_failed = str(dev.get("device_error", "")).startswith("chip probe")
+    if (crashed or probe_failed) and _budget_left() > 120:
+        detail.update(dev)
+        detail["device_first_attempt_error"] = dev.get(
+            "device_error", f"worker died rc={rc1} before done-marker"
+        )
+        worker = _spawn_worker(_budget_left() - 30, keep_fill=True)
         while worker.poll() is None and _budget_left() > 2:
             if _read_dev_json().get("device_worker_done"):
                 break
             time.sleep(1.0)
         dev = _read_dev_json()
         dev["device_keys_from_retry"] = True
+        if dev.get("device_worker_done") and "device_error" not in dev:
+            # the retry succeeded: drop the first attempt's stale error
+            # (device_first_attempt_error keeps the history)
+            detail.pop("device_error", None)
     detail.update(dev)
     if worker.poll() is None and not dev.get("device_worker_done"):
         detail["device_worker_still_running"] = True
